@@ -1,0 +1,262 @@
+"""IMU processing: static initialization, forward propagation, motion deskew.
+
+TPU-native re-design of /root/reference/src/IMU_Processing.hpp:
+
+* ``init_stats`` / ``make_init_state`` — static initialization: running
+  mean/cov of acc & gyro, gravity/bias seeding, initial covariance
+  (IMU_Processing.hpp:159-214).  Runs host-side once (numpy), like the
+  reference's start-up path.
+* ``propagate_and_deskew`` — the jitted per-scan kernel fusing
+  - forward propagation per IMU interval (IMU_Processing.hpp:243-301) as a
+    ``lax.scan`` over a fixed-size padded IMU block, emitting per-knot poses
+    (the Pose6D cache, msg/Pose6D.msg, common_lib.h:168-183), and
+  - backward per-point motion compensation (IMU_Processing.hpp:307-345)
+    re-designed as a vectorized gather: per-point segment lookup via
+    ``searchsorted`` over knot times + closed-form pose interpolation,
+    replacing the reference's backward pointer walk.
+
+Padding contract for the IMU block (length M):
+  slot 0 is the previous frame's tail sample (the reference's
+  ``v_imu.push_front(last_imu_)``, IMU_Processing.hpp:220); ``imu_mask[i]``
+  marks real samples; masked-out slots must come after all real ones and have
+  nondecreasing times.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import state as st
+from .filter import ekf
+from .math import so3
+
+_FAR_FUTURE = 1e9
+
+
+class InitStats(NamedTuple):
+    """Host-side running statistics for static initialization."""
+
+    n: int
+    mean_acc: np.ndarray
+    mean_gyr: np.ndarray
+    cov_acc: np.ndarray
+    cov_gyr: np.ndarray
+
+
+def empty_stats() -> InitStats:
+    return InitStats(
+        n=0,
+        mean_acc=np.array([0.0, 0.0, -1.0]),
+        mean_gyr=np.zeros(3),
+        cov_acc=np.full(3, 0.1),
+        cov_gyr=np.full(3, 0.1),
+    )
+
+
+def update_stats(stats: InitStats, acc: np.ndarray, gyr: np.ndarray) -> InitStats:
+    """Accumulate one frame of IMU samples (IMU_Processing.hpp:178-194).
+
+    acc/gyr: (k, 3) raw samples.  First-ever call seeds the means from the
+    first sample (b_first_frame_ branch, :166-176).
+    """
+    n = stats.n
+    mean_acc, mean_gyr = stats.mean_acc.copy(), stats.mean_gyr.copy()
+    cov_acc, cov_gyr = stats.cov_acc.copy(), stats.cov_gyr.copy()
+    start = 0
+    if n == 0:
+        mean_acc = acc[0].astype(float).copy()
+        mean_gyr = gyr[0].astype(float).copy()
+        n = 1
+    for i in range(start, len(acc)):
+        mean_acc += (acc[i] - mean_acc) / n
+        mean_gyr += (gyr[i] - mean_gyr) / n
+        cov_acc = cov_acc * (n - 1.0) / n + (acc[i] - mean_acc) ** 2 * (n - 1.0) / n**2
+        cov_gyr = cov_gyr * (n - 1.0) / n + (gyr[i] - mean_gyr) ** 2 * (n - 1.0) / n**2
+        n += 1
+    return InitStats(n, mean_acc, mean_gyr, cov_acc, cov_gyr)
+
+
+def make_init_state(
+    stats: InitStats,
+    ext_R: np.ndarray,
+    ext_T: np.ndarray,
+    dtype=jnp.float32,
+) -> Tuple[st.State, jnp.ndarray]:
+    """Initial (state, P) after static init (IMU_Processing.hpp:195-211)."""
+    x = st.identity_state(dtype)
+    grav = -stats.mean_acc / np.linalg.norm(stats.mean_acc) * st.G_M_S2
+    x = x._replace(
+        grav=st.normalize_grav(jnp.asarray(grav, dtype)),
+        bg=jnp.asarray(stats.mean_gyr, dtype),
+        offset_R_L_I=so3.matrix_to_quat(jnp.asarray(ext_R, dtype)),
+        offset_T_L_I=jnp.asarray(ext_T, dtype),
+    )
+    P = np.eye(st.DOF)
+    P[6:9, 6:9] *= 1e-5  # extrinsic rot
+    P[9:12, 9:12] *= 1e-5  # extrinsic trans
+    P[15:18, 15:18] *= 1e-4  # bg
+    P[18:21, 18:21] *= 1e-3  # ba
+    P[21:23, 21:23] *= 1e-5  # grav
+    return x, jnp.asarray(P, dtype)
+
+
+class ImuCarry(NamedTuple):
+    """Cross-frame IMU state (the reference's angvel_last / acc_s_last /
+    last_lidar_end_time, IMU_Processing.hpp:78-81)."""
+
+    angvel_last: jnp.ndarray  # (3,)
+    acc_s_last: jnp.ndarray  # (3,)
+    last_lidar_end_time: jnp.ndarray  # () absolute seconds
+
+
+def init_imu_carry(dtype=jnp.float32) -> ImuCarry:
+    z = jnp.zeros(3, dtype=dtype)
+    return ImuCarry(z, z, jnp.asarray(0.0, jnp.float64))
+
+
+def propagate_and_deskew(
+    x: st.State,
+    P: jnp.ndarray,
+    Q: jnp.ndarray,
+    imu_t: jnp.ndarray,  # (M,) absolute seconds, float64 on host ok
+    imu_acc: jnp.ndarray,  # (M, 3)
+    imu_gyr: jnp.ndarray,  # (M, 3)
+    imu_mask: jnp.ndarray,  # (M,) bool
+    acc_scale: jnp.ndarray,  # () G / |mean_acc|  (IMU_Processing.hpp:266)
+    pcl_beg_time: jnp.ndarray,  # () absolute seconds
+    pcl_end_time: jnp.ndarray,  # ()
+    carry: ImuCarry,
+    pts: jnp.ndarray,  # (N, 3) LiDAR-frame points
+    pt_time: jnp.ndarray,  # (N,) per-point offset from scan begin, SECONDS
+    deskew: bool = True,
+):
+    """Forward-propagate through the IMU block and deskew the scan.
+
+    Returns (x_end, P_end, pts_out, new_carry).  All points end up in the
+    scan-end LiDAR frame (IMU_Processing.hpp:323-343).
+    """
+    dtype = P.dtype
+    M = imu_t.shape[0]
+    last_end = carry.last_lidar_end_time
+
+    # relative times keep f32-friendly magnitudes inside the kernel
+    rel_t = (imu_t - pcl_beg_time).astype(dtype)  # (M,)
+    rel_last_end = (last_end - pcl_beg_time).astype(dtype)
+    rel_pcl_end = (pcl_end_time - pcl_beg_time).astype(dtype)
+
+    pair_tail_mask = imu_mask[1:]  # tail sample must be real
+    head_t = rel_t[:-1]
+    tail_t = rel_t[1:]
+    not_stale = tail_t >= rel_last_end  # skip pre-scan leftovers (:255)
+    pair_valid = jnp.logical_and(pair_tail_mask, not_stale)
+
+    angvel_avr = 0.5 * (imu_gyr[:-1] + imu_gyr[1:]).astype(dtype)
+    acc_avr = 0.5 * (imu_acc[:-1] + imu_acc[1:]).astype(dtype) * acc_scale
+    dts = tail_t - jnp.maximum(head_t, rel_last_end)  # (:268-276)
+    dts = jnp.where(pair_valid, jnp.maximum(dts, 0.0), 0.0)
+
+    class ScanCarry(NamedTuple):
+        x: st.State
+        P: jnp.ndarray
+        angvel: jnp.ndarray
+        acc_world: jnp.ndarray
+        last_in_acc: jnp.ndarray
+        last_in_gyr: jnp.ndarray
+
+    def step(c: ScanCarry, inp):
+        dt, acc_a, gyr_a, valid, toff = inp
+        x_new, P_new = ekf.predict(c.x, c.P, dt, Q, acc_a, gyr_a)
+        x_sel = jax.tree.map(lambda a, b: jnp.where(valid, a, b), x_new, c.x)
+        P_sel = jnp.where(valid, P_new, c.P)
+        angvel = jnp.where(valid, gyr_a - x_sel.bg, c.angvel)
+        acc_w = jnp.where(
+            valid,
+            so3.quat_rotate(x_sel.rot, acc_a - x_sel.ba) + x_sel.grav,
+            c.acc_world,
+        )
+        new_c = ScanCarry(
+            x=x_sel,
+            P=P_sel,
+            angvel=angvel,
+            acc_world=acc_w,
+            last_in_acc=jnp.where(valid, acc_a, c.last_in_acc),
+            last_in_gyr=jnp.where(valid, gyr_a, c.last_in_gyr),
+        )
+        knot = dict(
+            offset=toff,
+            rot=x_sel.rot,
+            pos=x_sel.pos,
+            vel=x_sel.vel,
+            gyr=angvel,
+            acc=acc_w,
+        )
+        return new_c, knot
+
+    # knot offset times: valid -> tail offset; stale-prefix -> 0;
+    # padding tail -> +inf so searchsorted never selects them as head.
+    knot_offsets = jnp.where(
+        pair_valid, tail_t, jnp.where(pair_tail_mask, 0.0, _FAR_FUTURE)
+    )
+    c0 = ScanCarry(
+        x=x,
+        P=P,
+        angvel=carry.angvel_last.astype(dtype),
+        acc_world=carry.acc_s_last.astype(dtype),
+        last_in_acc=jnp.zeros(3, dtype=dtype),
+        last_in_gyr=jnp.zeros(3, dtype=dtype),
+    )
+    cN, knots = jax.lax.scan(
+        step, c0, (dts, acc_avr, angvel_avr, pair_valid, knot_offsets)
+    )
+
+    # prepend the scan-begin knot (IMU_Processing.hpp:241)
+    def prepend(k0, arr):
+        return jnp.concatenate([k0[None], arr], axis=0)
+
+    knot_t = prepend(jnp.asarray(0.0, dtype), knots["offset"])  # (M,)
+    knot_rot = prepend(x.rot, knots["rot"])
+    knot_pos = prepend(x.pos, knots["pos"])
+    knot_vel = prepend(x.vel, knots["vel"])
+    knot_gyr = prepend(carry.angvel_last.astype(dtype), knots["gyr"])
+    knot_acc = prepend(carry.acc_s_last.astype(dtype), knots["acc"])
+
+    # final fractional predict to scan end (IMU_Processing.hpp:298-301)
+    imu_end_rel = jnp.max(jnp.where(imu_mask, rel_t, -jnp.inf))
+    dt_final = rel_pcl_end - imu_end_rel
+    x_end, P_end = ekf.predict(x=cN.x, P=cN.P, dt=dt_final, Q=Q,
+                               acc=cN.last_in_acc, gyro=cN.last_in_gyr)
+
+    new_carry = ImuCarry(
+        angvel_last=cN.angvel,
+        acc_s_last=cN.acc_world,
+        last_lidar_end_time=pcl_end_time,
+    )
+
+    if not deskew:  # MARSIM bypass (IMU_Processing.hpp:310)
+        return x_end, P_end, pts, new_carry
+
+    # ---- backward compensation as a vectorized gather ----
+    t_p = pt_time.astype(dtype)  # (N,)
+    head = jnp.clip(
+        jnp.searchsorted(knot_t, t_p, side="left") - 1, 0, M - 2
+    )
+    tail = head + 1
+    R_head = so3.quat_to_matrix(knot_rot[head])  # (N,3,3)
+    pos_head = knot_pos[head]
+    vel_head = knot_vel[head]
+    acc_tail = knot_acc[tail]
+    gyr_tail = knot_gyr[tail]
+    dt_p = (t_p - knot_t[head])[:, None]  # (N,1)
+
+    R_i = R_head @ so3.so3_exp_matrix(gyr_tail * dt_p)  # (N,3,3)
+    T_ei = pos_head + vel_head * dt_p + 0.5 * acc_tail * dt_p * dt_p - x_end.pos
+
+    R_ext = so3.quat_to_matrix(x_end.offset_R_L_I)
+    p_imu_i = jnp.einsum("nij,nj->ni", R_i, pts @ R_ext.T + x_end.offset_T_L_I) + T_ei
+    R_end = so3.quat_to_matrix(x_end.rot)
+    p_imu_e = p_imu_i @ R_end  # == R_end^T applied to rows
+    pts_out = (p_imu_e - x_end.offset_T_L_I) @ R_ext  # == R_ext^T rows
+    return x_end, P_end, pts_out, new_carry

@@ -1,0 +1,288 @@
+"""Incremental voxel-hash map — the TPU-native replacement for ikd-Tree.
+
+The reference holds its map in an incremental k-d tree (submodule, API
+reconstructed in SURVEY.md §2: ``Build``, ``Nearest_Search``, ``Add_Points``
+with on-tree voxel downsampling, ``Delete_Point_Boxes``).  Pointer trees and
+dynamic shapes don't map to TPU, so this module re-designs the map as a
+fixed-capacity bucketed spatial hash held in device arrays:
+
+* storage: ``pts (H, B, 3)`` + ``valid (H, B)`` — H hash buckets of B slots.
+  A point lives in the bucket of its *storage cell* (side ``cell_size``,
+  default 1.0 m — deliberately coarser than the 0.5 m map-downsample voxel so
+  a 3x3x3 cell gather covers the reference's ~2.24 m kNN acceptance radius,
+  laserMapping.cpp:671).
+* kNN     = gather the 27 neighbor buckets + masked top-k (replaces
+  ``Nearest_Search``).  Hash collisions are benign: a colliding candidate is
+  a real map point whose true distance is computed anyway.
+* insert  = masked sort/rank/scatter with the reference's spatial hysteresis
+  (``map_incremental``, laserMapping.cpp:427-474) and the ikd-Tree's
+  keep-nearest-to-voxel-center downsample semantics.
+* delete  = the sliding local-map cube becomes one masked AABB pass
+  (replaces lazy ``Delete_Point_Boxes``).
+
+Everything is a pure function of the Map pytree; under jit the buffers are
+donated so updates are in-place in HBM.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NUM_MATCH_POINTS = 5  # common_lib.h:26
+
+
+class MapConfig(NamedTuple):
+    h_log2: int = 16  # 65536 buckets
+    bucket_slots: int = 16  # B; capacity = 2^h_log2 * B points
+    cell_size: float = 1.0  # storage-cell side (m)
+    voxel_size: float = 0.5  # map downsample voxel (filter_size_map_min)
+
+    @property
+    def num_buckets(self):
+        return 1 << self.h_log2
+
+
+class Map(NamedTuple):
+    pts: jnp.ndarray  # (H, B, 3) f32
+    valid: jnp.ndarray  # (H, B) bool
+    dropped: jnp.ndarray  # () int32, points lost to bucket overflow
+
+
+def make_map(cfg: MapConfig, dtype=jnp.float32) -> Map:
+    H, B = cfg.num_buckets, cfg.bucket_slots
+    return Map(
+        pts=jnp.zeros((H, B, 3), dtype=dtype),
+        valid=jnp.zeros((H, B), dtype=bool),
+        dropped=jnp.zeros((), jnp.int32),
+    )
+
+
+def map_size(m: Map) -> jnp.ndarray:
+    """Live point count (the ikd-Tree ``validnum`` analog)."""
+    return jnp.sum(m.valid.astype(jnp.int32))
+
+
+# --------------------------------------------------------------------------
+# hashing
+# --------------------------------------------------------------------------
+
+_P1, _P2, _P3 = 73856093, 19349663, 83492791  # classic spatial-hash primes
+
+
+def _cell_of(pts: jnp.ndarray, cell_size: float) -> jnp.ndarray:
+    return jnp.floor(pts / cell_size).astype(jnp.int32)
+
+
+def _bucket_of(cell: jnp.ndarray, h_log2: int) -> jnp.ndarray:
+    h = (cell[..., 0] * _P1) ^ (cell[..., 1] * _P2) ^ (cell[..., 2] * _P3)
+    return (h & ((1 << h_log2) - 1)).astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# kNN search
+# --------------------------------------------------------------------------
+
+_NEIGHBOR_OFFSETS = jnp.array(
+    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    dtype=jnp.int32,
+)  # (27, 3)
+
+
+def knn_search(
+    m: Map, cfg: MapConfig, queries: jnp.ndarray, k: int = NUM_MATCH_POINTS
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """k nearest map points per query.
+
+    queries: (N, 3).  Returns (neighbors (N, k, 3), sq_dists (N, k) — +inf for
+    missing, found_mask (N, k)).  Replaces ikd-Tree ``Nearest_Search``
+    (laserMapping.cpp:670) with a 27-cell gather + top-k: exact within the
+    covered ±cell_size neighborhood, which covers the reference's acceptance
+    gate (5th NN sq-dist <= 5 m^2) for any practically dense map region.
+    """
+    B = cfg.bucket_slots
+    cell = _cell_of(queries, cfg.cell_size)  # (N, 3)
+    ncells = cell[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]  # (N, 27, 3)
+    buckets = _bucket_of(ncells, cfg.h_log2)  # (N, 27)
+
+    cand_pts = m.pts[buckets].reshape(queries.shape[0], 27 * B, 3)
+    cand_ok = m.valid[buckets].reshape(queries.shape[0], 27 * B)
+
+    diff = cand_pts - queries[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(cand_ok, d2, jnp.inf)
+
+    neg_top, idx = jax.lax.top_k(-d2, k)  # (N, k)
+    sq = -neg_top
+    nbrs = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
+    found = jnp.isfinite(sq)
+    return nbrs, sq, found
+
+
+# --------------------------------------------------------------------------
+# insertion with spatial hysteresis
+# --------------------------------------------------------------------------
+
+
+def _voxel_center(p: jnp.ndarray, voxel: float) -> jnp.ndarray:
+    return jnp.floor(p / voxel) * voxel + 0.5 * voxel
+
+
+def insert_decisions(
+    pts_world: jnp.ndarray,  # (N, 3)
+    mask: jnp.ndarray,  # (N,) live scan points
+    nearest: jnp.ndarray,  # (N, k, 3) cached 5-NN from the update loop
+    nearest_found: jnp.ndarray,  # (N, k)
+    ekf_inited: jnp.ndarray,  # ()
+    voxel: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The map_incremental policy (laserMapping.cpp:433-467).
+
+    Returns (add_mask, downsample_flag):
+      * no neighbors / not inited        -> add, with downsample
+      * nearest NN outside the voxel on every axis -> add, NO downsample
+      * any of the 5 NN nearer to the voxel center -> skip
+      * otherwise                        -> add, with downsample
+    """
+    mid = _voxel_center(pts_world, voxel)
+    dist = jnp.sum((pts_world - mid) ** 2, axis=-1)
+
+    have_nbrs = jnp.logical_and(nearest_found[:, 0], ekf_inited)
+    nn0 = nearest[:, 0, :]
+    far_all_axes = jnp.all(jnp.abs(nn0 - mid) > 0.5 * voxel, axis=-1)
+
+    # any of the k NN (only if all k found, reference :452-454) nearer to mid
+    nbr_d = jnp.sum((nearest - mid[:, None, :]) ** 2, axis=-1)
+    nbr_d = jnp.where(nearest_found, nbr_d, jnp.inf)
+    all_found = jnp.all(nearest_found, axis=-1)
+    blocked = jnp.logical_and(all_found, jnp.any(nbr_d < dist[:, None], axis=-1))
+
+    add = jnp.where(
+        have_nbrs,
+        jnp.logical_or(far_all_axes, jnp.logical_not(blocked)),
+        True,
+    )
+    downsample = jnp.where(have_nbrs, jnp.logical_not(far_all_axes), True)
+    return jnp.logical_and(add, mask), downsample
+
+
+def insert(
+    m: Map,
+    cfg: MapConfig,
+    pts: jnp.ndarray,  # (N, 3) world-frame candidates
+    add_mask: jnp.ndarray,  # (N,)
+    downsample: jnp.ndarray,  # (N,) per-point flag
+) -> Map:
+    """Masked scatter insert (the ``Add_Points`` analog).
+
+    Downsample-on points keep at most one point per 0.5 m voxel, preferring
+    the one nearest the voxel center (ikd-Tree on-tree downsample semantics).
+    Bucket-full points are dropped and counted (the tree would rebalance;
+    the local-map prune keeps occupancy low instead).
+    """
+    N = pts.shape[0]
+    H, B = cfg.num_buckets, cfg.bucket_slots
+    dtype = m.pts.dtype
+    FLAT = H * B
+
+    vox = _cell_of(pts, cfg.voxel_size)  # (N,3) int voxel coords
+    mid = _voxel_center(pts, cfg.voxel_size)
+    d_mid = jnp.sum((pts - mid) ** 2, axis=-1)
+
+    # ---- intra-batch dedup among downsample-on points -------------------
+    # pack voxel coords relative to the batch min into a sortable key;
+    # one scan spans << 2^10 voxels per axis, so 10 bits/axis is exact here.
+    ref = jnp.min(jnp.where(add_mask[:, None], vox, 2**30), axis=0)
+    rel = jnp.clip(vox - ref, 0, 1023)
+    key = (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]
+    live_ds = jnp.logical_and(add_mask, downsample)
+    # sort (key, d_mid): the first entry of each key-group is the winner
+    big = jnp.int32(2**30)
+    sort_key = jnp.where(live_ds, key, big)
+    order = jnp.lexsort((d_mid, sort_key))
+    sk = sort_key[order]
+    is_first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
+    winner_sorted = jnp.logical_and(is_first, sk < big)
+    winner = jnp.zeros(N, dtype=bool).at[order].set(winner_sorted)
+    live = jnp.logical_or(winner, jnp.logical_and(add_mask, ~downsample))
+
+    # ---- per-candidate bucket + slot inspection --------------------------
+    cell = _cell_of(pts, cfg.cell_size)
+    bucket = _bucket_of(cell, cfg.h_log2)  # (N,)
+    slot_pts = m.pts[bucket]  # (N, B, 3)
+    slot_ok = m.valid[bucket]  # (N, B)
+
+    slot_vox = _cell_of(slot_pts, cfg.voxel_size)  # (N, B, 3)
+    same_vox = jnp.logical_and(
+        jnp.all(slot_vox == vox[:, None, :], axis=-1), slot_ok
+    )  # (N, B)
+    has_same = jnp.any(same_vox, axis=-1)
+    same_slot = jnp.argmax(same_vox, axis=-1)  # first matching slot
+
+    slot_mid_d = jnp.sum((slot_pts - mid[:, None, :]) ** 2, axis=-1)
+    existing_d = jnp.take_along_axis(slot_mid_d, same_slot[:, None], axis=1)[:, 0]
+
+    is_ds = jnp.logical_and(live, downsample)
+    # replace iff new point is nearer the voxel center than the incumbent
+    do_replace = jnp.logical_and(jnp.logical_and(is_ds, has_same), d_mid < existing_d)
+    ds_dropped = jnp.logical_and(jnp.logical_and(is_ds, has_same), d_mid >= existing_d)
+    # append candidates: live points with no same-voxel incumbent (ds) or all
+    # no-downsample points
+    do_append = jnp.logical_and(live, jnp.logical_not(jnp.logical_and(is_ds, has_same)))
+
+    # ---- append slot assignment (rank within bucket) ---------------------
+    app_bucket = jnp.where(do_append, bucket, H)  # H = sentinel
+    order2 = jnp.argsort(app_bucket)
+    sb = app_bucket[order2]
+    first2 = jnp.concatenate([jnp.array([True]), sb[1:] != sb[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first2, jnp.arange(N), 0)
+    )
+    rank_sorted = jnp.arange(N) - seg_start
+    rank = jnp.zeros(N, jnp.int32).at[order2].set(rank_sorted.astype(jnp.int32))
+
+    # free slots of each candidate's bucket, in ascending slot order
+    free_order = jnp.argsort(slot_ok, axis=-1, stable=True)  # False first
+    free_count = B - jnp.sum(slot_ok, axis=-1)
+    app_ok = jnp.logical_and(do_append, rank < free_count)
+    app_slot = jnp.take_along_axis(
+        free_order, jnp.clip(rank, 0, B - 1)[:, None], axis=1
+    )[:, 0]
+
+    overflow = jnp.sum(jnp.logical_and(do_append, rank >= free_count))
+
+    # ---- scatter ----------------------------------------------------------
+    flat_replace = jnp.where(do_replace, bucket * B + same_slot, FLAT)
+    flat_append = jnp.where(app_ok, bucket * B + app_slot, FLAT)
+
+    pts_flat = m.pts.reshape(FLAT, 3)
+    val_flat = m.valid.reshape(FLAT)
+    pts_flat = pts_flat.at[flat_replace].set(pts.astype(dtype), mode="drop")
+    pts_flat = pts_flat.at[flat_append].set(pts.astype(dtype), mode="drop")
+    val_flat = val_flat.at[flat_append].set(True, mode="drop")
+
+    return Map(
+        pts=pts_flat.reshape(H, B, 3),
+        valid=val_flat.reshape(H, B),
+        dropped=m.dropped + overflow.astype(jnp.int32),
+    )
+
+
+# --------------------------------------------------------------------------
+# deletion (sliding local map)
+# --------------------------------------------------------------------------
+
+
+def prune_outside(m: Map, lo: jnp.ndarray, hi: jnp.ndarray) -> Map:
+    """Invalidate every point outside the axis-aligned box [lo, hi].
+
+    Replaces the vacated-slab ``Delete_Point_Boxes`` bookkeeping
+    (laserMapping.cpp:254-275): pruning to the *new* cube is equivalent to
+    deleting the vacated slabs and costs one masked elementwise pass.
+    """
+    inside = jnp.all(
+        jnp.logical_and(m.pts >= lo, m.pts <= hi), axis=-1
+    )
+    return m._replace(valid=jnp.logical_and(m.valid, inside))
