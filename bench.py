@@ -1,0 +1,91 @@
+"""Benchmark: sustained LIO scan rate on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference claims >100 Hz LiDAR-rate processing
+(/root/reference/README.md:42), so vs_baseline = scans_per_sec / 100.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the big fused step compiles once per shape
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fast_lio_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+
+    from fast_lio_tpu import sim as simlib
+    from fast_lio_tpu.config import Config, LidarType
+    from fast_lio_tpu.pipeline import Pipeline
+
+    # Avia-like load: ~12.8k raw points/scan, 0.3 m voxels
+    cfg = Config(
+        lidar_type=LidarType.AVIA,
+        filter_size_surf=0.3,
+        filter_size_map=0.3,
+        n_points_max=16384,
+        n_ds_max=8192,
+        n_imu_max=32,
+        map_h_log2=16,
+        det_range=40.0,
+        cube_side_length=300.0,
+    )
+    duration = 12.0
+    data = simlib.generate(
+        simlib.SimConfig(duration=duration, n_rings=32, n_azimuth=400)
+    )
+    pipe = Pipeline(cfg)
+
+    imu_i = 0
+    n_warm = 20
+    t_meas = None
+    steps = 0
+    for k in range(len(data.scans)):
+        stamp = data.scan_stamps[k]
+        end = stamp + 0.1
+        while imu_i < len(data.imu_t) and data.imu_t[imu_i] <= end + 1e-9:
+            pipe.push_imu(data.imu_t[imu_i], data.imu_acc[imu_i], data.imu_gyr[imu_i])
+            imu_i += 1
+        pipe.push_lidar(stamp, data.scans[k], data.scan_pt_times[k])
+        while pipe.spin_once():
+            pass
+        if k == n_warm:
+            import jax
+
+            jax.block_until_ready(pipe.P)
+            t_meas = time.perf_counter()
+            steps = 0
+        if t_meas is not None:
+            steps += 1
+    import jax
+
+    jax.block_until_ready(pipe.P)
+    wall = time.perf_counter() - t_meas
+    scans_per_sec = steps / wall
+
+    ate = simlib.ate_rmse(pipe.trajectory, data)
+    result = {
+        "metric": "lio_scan_rate",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / 100.0, 3),
+        "extra": {
+            "ate_rmse_m": round(ate, 4),
+            "scans": steps,
+            "n_eff_last": pipe.diags[-1].n_effective if pipe.diags else 0,
+            "map_size": pipe.diags[-1].map_size if pipe.diags else 0,
+            "platform": str(jax.devices()[0].platform),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Configuration system: one dataclass, per-sensor presets.
+
+Mirrors the reference's full parameter surface (YAML files in
+/root/reference/config/*.yaml loaded through ~30 nh.param reads,
+laserMapping.cpp:761-793), as plain dataclasses with the same keys and
+defaults, plus the TPU-runtime knobs (padding sizes, dtypes, map capacity).
+"""
+from __future__ import annotations
+
+import dataclasses
+from enum import IntEnum
+from typing import Tuple
+
+import numpy as np
+
+
+class LidarType(IntEnum):  # preprocess.h:17
+    AVIA = 1
+    VELO16 = 2
+    OUST64 = 3
+    MARSIM = 4
+
+
+class TimeUnit(IntEnum):  # preprocess.h:18
+    SEC = 0
+    MS = 1
+    US = 2
+    NS = 3
+
+    @property
+    def to_ms(self) -> float:  # preprocess.cpp:52-69
+        return {0: 1e3, 1: 1.0, 2: 1e-3, 3: 1e-6}[int(self)]
+
+
+@dataclasses.dataclass
+class Config:
+    # --- preprocess (config/*.yaml "preprocess:") ---
+    lidar_type: LidarType = LidarType.AVIA
+    n_scans: int = 6
+    blind: float = 0.01  # blind-zone radius, m
+    point_filter_num: int = 2  # keep 1-in-N points
+    time_unit: TimeUnit = TimeUnit.US
+    scan_rate: int = 10
+    feature_extract_enable: bool = False  # default off in every launch file
+
+    # --- common ---
+    time_sync_en: bool = False
+    time_offset_lidar_to_imu: float = 0.0
+
+    # --- mapping (config/*.yaml "mapping:") ---
+    max_iteration: int = 3  # launch default (mapping_avia.launch:10)
+    filter_size_surf: float = 0.5
+    filter_size_map: float = 0.5
+    cube_side_length: float = 1000.0
+    det_range: float = 300.0  # Avia 450, mid360 100 ...
+    fov_degree: float = 90.0
+    gyr_cov: float = 0.1
+    acc_cov: float = 0.1
+    b_gyr_cov: float = 0.0001
+    b_acc_cov: float = 0.0001
+    extrinsic_est_en: bool = True
+    extrinsic_T: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    extrinsic_R: Tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)
+
+    # --- filter constants (laserMapping.cpp:63-66,826) ---
+    laser_point_cov: float = 0.001
+    epsi: float = 0.001
+    init_time: float = 0.1  # EKF grace period, s
+    max_ini_count: int = 10  # IMU static-init sample threshold
+
+    # --- publish/save toggles (parity with config/*.yaml) ---
+    path_en: bool = True
+    scan_publish_en: bool = True
+    dense_publish_en: bool = True
+    scan_bodyframe_pub_en: bool = True
+    pcd_save_en: bool = False
+    pcd_save_interval: int = -1
+    runtime_pos_log: bool = False
+
+    # --- TPU runtime ---
+    n_points_max: int = 32768  # raw scan pad (post-decimation)
+    n_ds_max: int = 8192  # downsampled block pad (the filter's N)
+    n_imu_max: int = 64  # IMU samples per scan pad
+    map_h_log2: int = 17  # 131072 buckets
+    map_bucket_slots: int = 16  # capacity ~2.1M points
+    map_cell_size: float = 1.0
+    compute_dtype: str = "float32"
+
+    @property
+    def extrinsic_R_mat(self) -> np.ndarray:
+        return np.asarray(self.extrinsic_R, dtype=np.float64).reshape(3, 3)
+
+    @property
+    def extrinsic_T_vec(self) -> np.ndarray:
+        return np.asarray(self.extrinsic_T, dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Per-sensor presets mirroring /root/reference/config/*.yaml
+# ---------------------------------------------------------------------------
+
+AVIA = Config(
+    lidar_type=LidarType.AVIA,
+    n_scans=6,
+    blind=4.0,
+    point_filter_num=3,
+    time_unit=TimeUnit.US,
+    det_range=450.0,
+    fov_degree=70.4,
+    extrinsic_T=(0.04165, 0.02326, -0.0284),
+)
+
+HORIZON = Config(
+    lidar_type=LidarType.AVIA,
+    n_scans=6,
+    blind=4.0,
+    point_filter_num=3,
+    det_range=260.0,
+    fov_degree=100.0,
+    extrinsic_T=(0.05512, 0.02226, -0.0297),
+)
+
+MID360 = Config(
+    lidar_type=LidarType.AVIA,
+    n_scans=4,
+    blind=0.5,
+    point_filter_num=3,
+    det_range=100.0,
+    fov_degree=360.0,
+    extrinsic_T=(-0.011, -0.02329, 0.04412),
+)
+
+OUSTER64 = Config(
+    lidar_type=LidarType.OUST64,
+    n_scans=64,
+    blind=4.0,
+    point_filter_num=3,
+    time_unit=TimeUnit.NS,
+    det_range=150.0,
+    fov_degree=180.0,
+    extrinsic_T=(0.0, 0.0, 0.0),
+)
+
+VELODYNE = Config(
+    lidar_type=LidarType.VELO16,
+    n_scans=16,
+    blind=2.0,
+    point_filter_num=2,
+    time_unit=TimeUnit.MS,
+    scan_rate=10,
+    det_range=100.0,
+    fov_degree=180.0,
+    filter_size_surf=0.5,
+    filter_size_map=0.5,
+)
+
+MARSIM = Config(
+    lidar_type=LidarType.MARSIM,
+    n_scans=1,
+    blind=0.1,
+    point_filter_num=1,
+    det_range=30.0,
+    fov_degree=180.0,
+    max_iteration=4,
+)
+
+PRESETS = {
+    "avia": AVIA,
+    "horizon": HORIZON,
+    "mid360": MID360,
+    "ouster64": OUSTER64,
+    "velodyne": VELODYNE,
+    "marsim": MARSIM,
+}

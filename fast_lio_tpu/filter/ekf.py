@@ -143,6 +143,7 @@ def predict(
     F = F + fx_t * dt
     Fw = fw_t * dt
     P_new = F @ P @ F.T + Fw @ Q @ Fw.T
+    P_new = 0.5 * (P_new + P_new.T)  # keep P symmetric under f32 roundoff
     return x_new, P_new
 
 
@@ -171,8 +172,22 @@ def _block_transform(dx: jnp.ndarray, x: st.State, x_prop: st.State) -> jnp.ndar
     return T
 
 
+def _sym(A: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (A + A.T)
+
+
 def _spd_solve(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
-    """Solve A X = B for SPD A via Cholesky (stable f32 path)."""
+    """Solve A X = B for SPD A via Cholesky.
+
+    f32 safety: symmetrize and add a relative diagonal jitter so roundoff
+    from the non-symmetric P update (the reference runs f64 and skips this,
+    esekfom.hpp:1924) cannot push an eigenvalue negative.
+    """
+    n = A.shape[-1]
+    A = _sym(A)
+    eps = jnp.asarray(32.0, A.dtype) * jnp.finfo(A.dtype).eps
+    jitter = eps * (jnp.trace(A) / n)
+    A = A + jitter * jnp.eye(n, dtype=A.dtype)
     L = jnp.linalg.cholesky(A)
     y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
@@ -199,6 +214,7 @@ def update_iterated(
     R: float,
     max_iter: int,
     epsi: float = 0.001,
+    axis_name: str = None,
 ) -> UpdateResult:
     """The modified iterated update (esekfom.hpp:1619-1931) as a while_loop.
 
@@ -207,6 +223,12 @@ def update_iterated(
     ``ekfom_data.converge`` gates the kNN re-search (laserMapping.cpp:667).
 
     R is the scalar measurement noise (LASER_POINT_COV, laserMapping.cpp:64).
+
+    ``axis_name``: when running under shard_map with the measurement rows
+    split across devices, the H^T H / H^T h partials and the validity count
+    are psum-reduced over that mesh axis — the distributed Gauss-Newton
+    reduction of SURVEY.md §2.8 (exact, because those are the only
+    cross-point quantities the update consumes, esekfom.hpp:1784,1804).
     """
     dtype = P.dtype
     x_prop = x
@@ -221,8 +243,7 @@ def update_iterated(
         h_carry: Any
         done: jnp.ndarray
         any_valid: jnp.ndarray
-        P_work: jnp.ndarray  # reprojected P at the accepted iteration
-        K_x12: jnp.ndarray  # (23, 12)
+        P_post: jnp.ndarray  # R * P_inv of the accepted iteration (SPD)
         dx_final: jnp.ndarray  # (23,)
         n_evals: jnp.ndarray
 
@@ -245,6 +266,9 @@ def update_iterated(
 
         HTH = h_x.T @ h_x  # (12,12) — the only N-reductions
         HTh = h_x.T @ h  # (12,)
+        if axis_name is not None:
+            HTH = jax.lax.psum(HTH, axis_name)
+            HTh = jax.lax.psum(HTh, axis_name)
 
         # info-form gain: P_temp = (P_w/R)^{-1} + blockdiag(HTH, 0)
         P_over_R_inv = _spd_solve(P_w / R, jnp.eye(n, dtype=dtype))
@@ -279,8 +303,7 @@ def update_iterated(
             h_carry=out.carry,
             done=jnp.logical_and(out.valid, done_now),
             any_valid=jnp.logical_or(c.any_valid, out.valid),
-            P_work=sel(P_w, c.P_work),
-            K_x12=sel(K_x12, c.K_x12),
+            P_post=sel(R * P_inv, c.P_post),
             dx_final=sel(dx_, c.dx_final),
             n_evals=c.n_evals + 1,
         )
@@ -293,21 +316,22 @@ def update_iterated(
         h_carry=carry0,
         done=jnp.asarray(False),
         any_valid=jnp.asarray(False),
-        P_work=P_prop,
-        K_x12=jnp.zeros((n, 12), dtype=dtype),
+        P_post=P_prop,
         dx_final=jnp.zeros(n, dtype=dtype),
         n_evals=jnp.asarray(0, jnp.int32),
     )
     final = jax.lax.while_loop(cond, body, init)
 
-    # Final covariance update (esekfom.hpp:1834-1925): conjugate P_work by the
-    # tangent transport at dx_final, then P = L - K_x[:, :12] P[:12, :].
+    # Final covariance update.  The reference computes
+    # P = L - K_x[:, :12] P[:12, :] with per-block tangent transports applied
+    # to L, K_x and P's columns (esekfom.hpp:1834-1925).  Algebraically
+    # (I - K_x) P_w = R * ((P_w/R)^-1 + HtH)^-1 = R * P_inv, so the whole
+    # update collapses to P = T (R P_inv) T^T — identical in exact
+    # arithmetic, and SPD by construction, where the reference's open-form
+    # subtraction loses definiteness in f32.
     def apply_final(_):
         T = _block_transform(final.dx_final, final.x, x_prop)
-        L = T @ final.P_work @ T.T
-        K = T @ final.K_x12  # rows of K_x transformed (esekfom.hpp:1857-1859)
-        P_cols = final.P_work @ T.T  # P_ with column transform only
-        return L - K @ P_cols[:12, :]
+        return _sym(T @ final.P_post @ T.T)
 
     P_new = jax.lax.cond(
         final.any_valid, apply_final, lambda _: P_prop, operand=None

@@ -104,30 +104,31 @@ def make_init_state(
 
 
 class ImuCarry(NamedTuple):
-    """Cross-frame IMU state (the reference's angvel_last / acc_s_last /
-    last_lidar_end_time, IMU_Processing.hpp:78-81)."""
+    """Cross-frame IMU state (the reference's angvel_last / acc_s_last,
+    IMU_Processing.hpp:78-79).  The reference also carries
+    last_lidar_end_time; that stays on the HOST (absolute epoch seconds do
+    not survive f32 on device — all kernel times are scan-relative)."""
 
     angvel_last: jnp.ndarray  # (3,)
     acc_s_last: jnp.ndarray  # (3,)
-    last_lidar_end_time: jnp.ndarray  # () absolute seconds
 
 
 def init_imu_carry(dtype=jnp.float32) -> ImuCarry:
     z = jnp.zeros(3, dtype=dtype)
-    return ImuCarry(z, z, jnp.asarray(0.0, jnp.float64))
+    return ImuCarry(z, z)
 
 
 def propagate_and_deskew(
     x: st.State,
     P: jnp.ndarray,
     Q: jnp.ndarray,
-    imu_t: jnp.ndarray,  # (M,) absolute seconds, float64 on host ok
+    imu_t: jnp.ndarray,  # (M,) seconds RELATIVE to scan begin
     imu_acc: jnp.ndarray,  # (M, 3)
     imu_gyr: jnp.ndarray,  # (M, 3)
     imu_mask: jnp.ndarray,  # (M,) bool
     acc_scale: jnp.ndarray,  # () G / |mean_acc|  (IMU_Processing.hpp:266)
-    pcl_beg_time: jnp.ndarray,  # () absolute seconds
-    pcl_end_time: jnp.ndarray,  # ()
+    last_end_rel: jnp.ndarray,  # () previous scan end, relative to scan begin
+    pcl_end_rel: jnp.ndarray,  # () scan end, relative to scan begin
     carry: ImuCarry,
     pts: jnp.ndarray,  # (N, 3) LiDAR-frame points
     pt_time: jnp.ndarray,  # (N,) per-point offset from scan begin, SECONDS
@@ -140,12 +141,10 @@ def propagate_and_deskew(
     """
     dtype = P.dtype
     M = imu_t.shape[0]
-    last_end = carry.last_lidar_end_time
 
-    # relative times keep f32-friendly magnitudes inside the kernel
-    rel_t = (imu_t - pcl_beg_time).astype(dtype)  # (M,)
-    rel_last_end = (last_end - pcl_beg_time).astype(dtype)
-    rel_pcl_end = (pcl_end_time - pcl_beg_time).astype(dtype)
+    rel_t = imu_t.astype(dtype)  # (M,)
+    rel_last_end = last_end_rel.astype(dtype)
+    rel_pcl_end = pcl_end_rel.astype(dtype)
 
     pair_tail_mask = imu_mask[1:]  # tail sample must be real
     head_t = rel_t[:-1]
@@ -229,11 +228,7 @@ def propagate_and_deskew(
     x_end, P_end = ekf.predict(x=cN.x, P=cN.P, dt=dt_final, Q=Q,
                                acc=cN.last_in_acc, gyro=cN.last_in_gyr)
 
-    new_carry = ImuCarry(
-        angvel_last=cN.angvel,
-        acc_s_last=cN.acc_world,
-        last_lidar_end_time=pcl_end_time,
-    )
+    new_carry = ImuCarry(angvel_last=cN.angvel, acc_s_last=cN.acc_world)
 
     if not deskew:  # MARSIM bypass (IMU_Processing.hpp:310)
         return x_end, P_end, pts, new_carry

@@ -1,0 +1,253 @@
+"""Pure-Python ROS1 bag (v2.0) reader — no ROS installation required.
+
+The reference consumes live ROS topics (laserMapping.cpp:845-848) and its
+canonical datasets are rosbags (README.md:236-261).  This module replays
+those bags straight into the pipeline: it parses the bag container format,
+decompresses chunks (none/bz2; lz4 if the lz4 package exists), and
+deserializes the three message types FAST-LIO consumes:
+
+  * sensor_msgs/Imu
+  * sensor_msgs/PointCloud2  (Velodyne / Ouster / generic XYZI layouts)
+  * livox_ros_driver/CustomMsg
+
+Deserialized messages come out as dicts of numpy arrays matching what
+fast_lio_tpu.preprocess.drivers.decode expects.
+"""
+from __future__ import annotations
+
+import bz2
+import struct
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+_OP_MSG = 0x02
+_OP_BAGHDR = 0x03
+_OP_CHUNK = 0x05
+_OP_CONNECTION = 0x07
+
+
+def _parse_fields(buf: bytes) -> Dict[str, bytes]:
+    fields = {}
+    i = 0
+    while i < len(buf):
+        (flen,) = struct.unpack_from("<I", buf, i)
+        i += 4
+        field = buf[i : i + flen]
+        i += flen
+        eq = field.index(b"=")
+        fields[field[:eq].decode()] = field[eq + 1 :]
+    return fields
+
+
+def _read_record(buf: bytes, pos: int) -> Tuple[Dict[str, bytes], bytes, int]:
+    (hlen,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    header = _parse_fields(buf[pos : pos + hlen])
+    pos += hlen
+    (dlen,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    data = buf[pos : pos + dlen]
+    pos += dlen
+    return header, data, pos
+
+
+# ---------------------------------------------------------------------------
+# message deserializers (ROS1 wire format)
+# ---------------------------------------------------------------------------
+
+
+def _read_string(buf: bytes, i: int) -> Tuple[str, int]:
+    (n,) = struct.unpack_from("<I", buf, i)
+    return buf[i + 4 : i + 4 + n].decode(errors="replace"), i + 4 + n
+
+
+def _read_header(buf: bytes, i: int) -> Tuple[float, int]:
+    # std_msgs/Header: uint32 seq, time stamp (2 x uint32), string frame_id
+    _seq, secs, nsecs = struct.unpack_from("<III", buf, i)
+    i += 12
+    _frame, i = _read_string(buf, i)
+    return secs + nsecs * 1e-9, i
+
+
+def parse_imu(data: bytes) -> dict:
+    t, i = _read_header(data, 0)
+    vals = struct.unpack_from("<4d9d3d9d3d9d", data, i)
+    return {
+        "stamp": t,
+        "orientation": np.array(vals[0:4]),
+        "angular_velocity": np.array(vals[13:16]),
+        "linear_acceleration": np.array(vals[25:28]),
+    }
+
+
+_PC2_DTYPES = {
+    1: np.int8, 2: np.uint8, 3: np.int16, 4: np.uint16,
+    5: np.int32, 6: np.uint32, 7: np.float32, 8: np.float64,
+}
+
+
+def parse_pointcloud2(data: bytes) -> dict:
+    t, i = _read_header(data, 0)
+    height, width = struct.unpack_from("<II", data, i)
+    i += 8
+    (nfields,) = struct.unpack_from("<I", data, i)
+    i += 4
+    fields = []
+    for _ in range(nfields):
+        name, i = _read_string(data, i)
+        off, dt, cnt = struct.unpack_from("<IBI", data, i)
+        i += 9
+        fields.append((name, off, dt, cnt))
+    is_bigendian, point_step, row_step = struct.unpack_from("<BII", data, i)
+    i += 9
+    (dlen,) = struct.unpack_from("<I", data, i)
+    i += 4
+    raw = np.frombuffer(data, np.uint8, count=dlen, offset=i)
+    i += dlen
+    n = (height * width) if height * width > 0 else dlen // point_step
+    raw = raw[: n * point_step].reshape(n, point_step)
+
+    out = {"stamp": t, "n": n}
+    for name, off, dt, cnt in fields:
+        npdt = _PC2_DTYPES[dt]
+        w = np.dtype(npdt).itemsize
+        col = (
+            raw[:, off : off + w * cnt]
+            .copy()
+            .view(npdt)
+            .reshape(n, cnt)
+        )
+        out[name] = col[:, 0] if cnt == 1 else col
+    xyz = np.stack(
+        [out.get("x", np.zeros(n)), out.get("y", np.zeros(n)),
+         out.get("z", np.zeros(n))], axis=-1
+    ).astype(np.float64)
+    out["xyz"] = xyz
+    if "intensity" not in out:
+        out["intensity"] = np.zeros(n, np.float32)
+    return out
+
+
+def parse_livox_custommsg(data: bytes) -> dict:
+    t, i = _read_header(data, 0)
+    timebase, point_num, _lidar_id = struct.unpack_from("<QIB", data, i)
+    i += 13 + 3  # + rsvd[3]
+    rec = np.dtype(
+        [
+            ("offset_time", "<u4"),
+            ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+            ("reflectivity", "u1"), ("tag", "u1"), ("line", "u1"),
+        ]
+    )
+    (arr_len,) = struct.unpack_from("<I", data, i)
+    i += 4
+    pts = np.frombuffer(data, rec, count=arr_len, offset=i)
+    return {
+        "stamp": t,
+        "timebase": timebase,
+        "xyz": np.stack([pts["x"], pts["y"], pts["z"]], -1).astype(np.float64),
+        "reflectivity": pts["reflectivity"].astype(np.float32),
+        "offset_time_ns": pts["offset_time"].astype(np.int64),
+        "tag": pts["tag"],
+        "line": pts["line"],
+    }
+
+
+_PARSERS = {
+    "sensor_msgs/Imu": parse_imu,
+    "sensor_msgs/PointCloud2": parse_pointcloud2,
+    "livox_ros_driver/CustomMsg": parse_livox_custommsg,
+    "livox_ros_driver2/CustomMsg": parse_livox_custommsg,
+}
+
+
+class BagReader:
+    """Iterates (topic, type, stamp, parsed_msg) in chunk order."""
+
+    def __init__(self, path):
+        self.path = Path(path)
+        self._buf = self.path.read_bytes()
+        if not self._buf.startswith(b"#ROSBAG V2.0\n"):
+            raise ValueError(f"{path}: not a ROS bag v2.0")
+        self._connections: Dict[int, Tuple[str, str]] = {}
+
+    def messages(
+        self, topics: Optional[set] = None
+    ) -> Iterator[Tuple[str, str, float, dict]]:
+        buf = self._buf
+        pos = buf.index(b"\n") + 1
+        while pos < len(buf):
+            header, data, pos = _read_record(buf, pos)
+            op = header.get("op", b"\x00")[0]
+            if op == _OP_CHUNK:
+                comp = header.get("compression", b"none").decode()
+                if comp == "bz2":
+                    data = bz2.decompress(data)
+                elif comp == "lz4":
+                    try:
+                        import lz4.frame  # optional
+
+                        data = lz4.frame.decompress(data)
+                    except ImportError as e:
+                        raise RuntimeError(
+                            "bag uses lz4 chunks; lz4 package unavailable"
+                        ) from e
+                yield from self._iter_chunk(data, topics)
+            elif op == _OP_CONNECTION:
+                self._register_connection(header, data)
+
+    def _register_connection(self, header, data):
+        conn = struct.unpack("<I", header["conn"])[0] if isinstance(
+            header.get("conn"), bytes
+        ) else 0
+        fields = _parse_fields(data)
+        topic = header.get("topic", b"").decode()
+        mtype = fields.get("type", b"").decode()
+        self._connections[conn] = (topic, mtype)
+
+    def _iter_chunk(self, data: bytes, topics):
+        pos = 0
+        while pos < len(data):
+            header, rec, pos = _read_record(data, pos)
+            op = header.get("op", b"\x00")[0]
+            if op == _OP_CONNECTION:
+                self._register_connection(header, rec)
+            elif op == _OP_MSG:
+                (conn,) = struct.unpack("<I", header["conn"])
+                secs, nsecs = struct.unpack("<II", header["time"])
+                stamp = secs + nsecs * 1e-9
+                topic, mtype = self._connections.get(conn, ("?", "?"))
+                if topics is not None and topic not in topics:
+                    continue
+                parser = _PARSERS.get(mtype)
+                if parser is None:
+                    continue
+                yield topic, mtype, stamp, parser(rec)
+
+
+def replay_into_pipeline(bag_path, pipeline, lidar_topic, imu_topic,
+                         cfg=None, max_scans=None):
+    """Feed a bag through a Pipeline (the `rosbag play` analog)."""
+    from ..preprocess.drivers import decode
+
+    cfg = cfg or pipeline.cfg
+    reader = BagReader(bag_path)
+    n_scans = 0
+    for topic, mtype, stamp, msg in reader.messages({lidar_topic, imu_topic}):
+        if topic == imu_topic:
+            pipeline.push_imu(
+                msg["stamp"], msg["linear_acceleration"], msg["angular_velocity"]
+            )
+        else:
+            scan = decode(msg, cfg)
+            pipeline.push_lidar(msg["stamp"], scan.pts, scan.time_offset_s)
+            n_scans += 1
+            if max_scans and n_scans >= max_scans:
+                break
+        while pipeline.spin_once():
+            pass
+    while pipeline.spin_once():
+        pass
+    return n_scans

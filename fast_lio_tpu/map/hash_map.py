@@ -37,12 +37,27 @@ NUM_MATCH_POINTS = 5  # common_lib.h:26
 class MapConfig(NamedTuple):
     h_log2: int = 16  # 65536 buckets
     bucket_slots: int = 16  # B; capacity = 2^h_log2 * B points
-    cell_size: float = 1.0  # storage-cell side (m)
+    cell_size: float = 1.0  # storage-cell side (m); MUST be an integer
+    # multiple of voxel_size so every downsample voxel nests in exactly one
+    # cell — otherwise the same-voxel dedup can miss incumbents stored in a
+    # neighboring bucket.  Use make_config() to derive it.
     voxel_size: float = 0.5  # map downsample voxel (filter_size_map_min)
 
     @property
     def num_buckets(self):
         return 1 << self.h_log2
+
+
+def make_config(voxel_size: float, h_log2: int = 16,
+                bucket_slots: int = 16) -> MapConfig:
+    """Canonical config: storage cell = 2 x map voxel (nesting guaranteed,
+    27-cell kNN coverage radius = 2 voxels)."""
+    return MapConfig(
+        h_log2=h_log2,
+        bucket_slots=bucket_slots,
+        cell_size=2.0 * voxel_size,
+        voxel_size=voxel_size,
+    )
 
 
 class Map(NamedTuple):
@@ -76,9 +91,26 @@ def _cell_of(pts: jnp.ndarray, cell_size: float) -> jnp.ndarray:
     return jnp.floor(pts / cell_size).astype(jnp.int32)
 
 
-def _bucket_of(cell: jnp.ndarray, h_log2: int) -> jnp.ndarray:
+def cell_hash(cell: jnp.ndarray) -> jnp.ndarray:
+    """Raw 32-bit spatial hash of integer cell coords (…, 3) -> (…,).
+
+    Prime-multiply XOR seed + murmur3-style avalanche so planar point
+    distributions (every LiDAR scan) don't pile into a few buckets.  Low bits
+    index the bucket; the multi-device layer (fast_lio_tpu.parallel) derives
+    shard ownership from the high bits so each spatial cell lives on exactly
+    one device."""
     h = (cell[..., 0] * _P1) ^ (cell[..., 1] * _P2) ^ (cell[..., 2] * _P3)
-    return (h & ((1 << h_log2) - 1)).astype(jnp.int32)
+    h = h.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h.astype(jnp.int32)
+
+
+def _bucket_of(cell: jnp.ndarray, h_log2: int) -> jnp.ndarray:
+    return (cell_hash(cell) & ((1 << h_log2) - 1)).astype(jnp.int32)
 
 
 # --------------------------------------------------------------------------
@@ -107,8 +139,30 @@ def knn_search(
     ncells = cell[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]  # (N, 27, 3)
     buckets = _bucket_of(ncells, cfg.h_log2)  # (N, 27)
 
+    # two neighbor cells may hash to the same bucket; gather each bucket once
+    # or its slots would enter the candidate list (and the top-k) twice
+    b_sorted = jnp.sort(buckets, axis=-1)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(b_sorted[:, :1], dtype=bool),
+         b_sorted[:, 1:] == b_sorted[:, :-1]], axis=-1,
+    )
+    buckets = jnp.where(dup, cfg.num_buckets - 1, b_sorted)  # harmlessly re-
+    # points dup slots at one bucket; their slots are masked below
+
     cand_pts = m.pts[buckets].reshape(queries.shape[0], 27 * B, 3)
     cand_ok = m.valid[buckets].reshape(queries.shape[0], 27 * B)
+    cand_ok = jnp.logical_and(
+        cand_ok, jnp.logical_not(jnp.repeat(dup, B, axis=-1))
+    )
+
+    # drop hash-collision candidates from cells outside the 3x3x3 block:
+    # keeps the search semantics exactly "kNN within +-cell_size", identical
+    # for any shard count (fast_lio_tpu.parallel merges per-shard results)
+    cand_cell = _cell_of(cand_pts, cfg.cell_size)
+    in_region = jnp.all(
+        jnp.abs(cand_cell - cell[:, None, :]) <= 1, axis=-1
+    )
+    cand_ok = jnp.logical_and(cand_ok, in_region)
 
     diff = cand_pts - queries[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)

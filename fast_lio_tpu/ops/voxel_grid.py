@@ -1,0 +1,61 @@
+"""Device voxel-grid downsample (centroid per voxel).
+
+TPU-native equivalent of the PCL ``VoxelGrid`` input filter the reference
+applies to each deskewed scan (laserMapping.cpp:117,813,904-905): every
+occupied voxel of side ``leaf`` is replaced by the centroid of its points.
+
+Re-designed for fixed shapes: lexsort points by integer voxel coords, mark
+segment heads, segment-sum positions/counts, emit a padded (n_out, 3) block
+with a validity mask.  No dynamic shapes, no host roundtrip — it runs inside
+the per-scan jitted step between deskew and the iEKF update.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def voxel_downsample(
+    pts: jnp.ndarray,  # (N, 3)
+    mask: jnp.ndarray,  # (N,) bool
+    leaf: float,
+    n_out: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (centroids (n_out, 3), out_mask (n_out,)).
+
+    Voxels beyond n_out are dropped (count them upstream if needed); masked
+    inputs never contribute.
+    """
+    N = pts.shape[0]
+    cell = jnp.floor(pts / leaf).astype(jnp.int32)
+    BIG = jnp.int32(2**30)
+    cx = jnp.where(mask, cell[:, 0], BIG)
+    cy = jnp.where(mask, cell[:, 1], BIG)
+    cz = jnp.where(mask, cell[:, 2], BIG)
+
+    order = jnp.lexsort((cz, cy, cx))
+    sx, sy, sz = cx[order], cy[order], cz[order]
+    pts_s = pts[order]
+    live_s = mask[order]
+
+    is_first = jnp.concatenate(
+        [
+            jnp.array([True]),
+            (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
+        ]
+    )
+    is_first = jnp.logical_and(is_first, live_s)
+    seg_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # (N,) 0-based
+    # dead points -> overflow segment
+    seg_id = jnp.where(live_s, jnp.minimum(seg_id, n_out), n_out)
+
+    w = live_s.astype(pts.dtype)
+    sums = jax.ops.segment_sum(pts_s * w[:, None], seg_id, num_segments=n_out + 1)
+    cnts = jax.ops.segment_sum(w, seg_id, num_segments=n_out + 1)
+    sums, cnts = sums[:n_out], cnts[:n_out]
+
+    out_mask = cnts > 0
+    centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
+    return centroids, out_mask

@@ -1,0 +1,258 @@
+"""Multi-device map-shard parallelism.
+
+The reference is strictly single-host (SURVEY.md §2.8) — its scaling levers
+are OpenMP over points and the ikd-Tree.  The TPU-native scaling design
+(BASELINE.md) shards the *map spatially across devices* and keeps the filter
+replicated:
+
+* Each device owns the spatial cells whose ownership hash maps to it and
+  holds them in a private voxel-hash table (same structure as the
+  single-device map, 1/n the buckets).
+* kNN: every device searches its shard for ALL queries (the query block is
+  replicated), then the per-shard top-k candidates are all-gathered over ICI
+  and re-top-k'd — exact, because the union of per-shard k-NN contains the
+  global k-NN.
+* Measurement reduction: the H rows are computed on a per-device slice of the
+  point block; H^T H (12x12) and H^T h (12,) are psum'd — mathematically
+  exact since the update consumes only those reductions
+  (esekfom.hpp:1784,1804).
+* Insert / prune: each device applies the (replicated) insert decisions to
+  the points it owns.  The 23-DOF solve is replicated on every device.
+
+Everything runs inside one ``shard_map`` over a 1-D "map" mesh axis, so the
+same code path scales from 1 chip to a pod slice; collectives ride ICI.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import imu as imu_mod
+from .. import state as st
+from ..config import Config, LidarType
+from ..filter import ekf
+from ..math import so3
+from ..map import hash_map as hm
+from ..ops import measurement as meas
+from ..ops.voxel_grid import voxel_downsample
+
+AXIS = "map"
+
+
+def local_map_cfg(cfg_global: hm.MapConfig, n_devices: int) -> hm.MapConfig:
+    """Per-shard table: same capacity split n ways (n must be a power of 2 so
+    shard ownership can use the hash bits above the bucket index)."""
+    shift = int(np.log2(n_devices))
+    assert 2**shift == n_devices, "device count must be a power of two"
+    return cfg_global._replace(h_log2=max(cfg_global.h_log2 - shift, 4))
+
+
+def make_sharded_map(
+    cfg_global: hm.MapConfig, mesh: Mesh, dtype=jnp.float32
+) -> hm.Map:
+    """Global map pytree: per-device tables concatenated on the bucket dim,
+    sharded over the mesh so each device holds exactly its own table."""
+    n = mesh.devices.size
+    lcfg = local_map_cfg(cfg_global, n)
+    H, B = n * lcfg.num_buckets, lcfg.bucket_slots
+    sh = NamedSharding(mesh, P(AXIS))
+    return hm.Map(
+        pts=jax.device_put(jnp.zeros((H, B, 3), dtype=dtype), sh),
+        valid=jax.device_put(jnp.zeros((H, B), dtype=bool), sh),
+        dropped=jax.device_put(
+            jnp.zeros((n,), jnp.int32), sh
+        ),  # per-shard overflow counter
+    )
+
+
+def _owner_of(cell: jnp.ndarray, lcfg: hm.MapConfig, n: int) -> jnp.ndarray:
+    """Shard owning a spatial cell: hash bits above the bucket index."""
+    h = hm.cell_hash(cell).astype(jnp.uint32)
+    return (jnp.right_shift(h, lcfg.h_log2) % jnp.uint32(n)).astype(jnp.int32)
+
+
+def _merged_knn(m_local: hm.Map, lcfg: hm.MapConfig, queries, k):
+    """Local shard search + all-gather + re-top-k (exact global kNN)."""
+    nbrs, sq, found = hm.knn_search(m_local, lcfg, queries, k)
+    # (n, N, k, ...) across the axis
+    all_nbrs = jax.lax.all_gather(nbrs, AXIS)
+    all_sq = jax.lax.all_gather(sq, AXIS)
+    n = all_sq.shape[0]
+    N = queries.shape[0]
+    all_nbrs = jnp.moveaxis(all_nbrs, 0, 1).reshape(N, n * k, 3)
+    all_sq = jnp.moveaxis(all_sq, 0, 1).reshape(N, n * k)
+    neg_top, idx = jax.lax.top_k(-all_sq, k)
+    sq_m = -neg_top
+    nbrs_m = jnp.take_along_axis(all_nbrs, idx[..., None], axis=1)
+    return nbrs_m, sq_m, jnp.isfinite(sq_m)
+
+
+def sharded_lio_step(
+    cfg: Config,
+    map_cfg_global: hm.MapConfig,
+    n_devices: int,
+    x: st.State,
+    P_,
+    m_local: hm.Map,
+    imu_carry: imu_mod.ImuCarry,
+    Q,
+    imu_t_rel,
+    imu_acc,
+    imu_gyr,
+    imu_mask,
+    acc_scale,
+    last_end_rel,
+    pcl_end_rel,
+    pts,
+    pt_time,
+    pt_mask,
+    lm_lo,
+    lm_hi,
+    lm_init,
+    ekf_inited,
+    do_update: bool = True,
+):
+    """Body executed per device inside shard_map (m_local is this shard's
+    table; everything else replicated)."""
+    from ..pipeline import fov_segment
+
+    lcfg = local_map_cfg(map_cfg_global, n_devices)
+    my = jax.lax.axis_index(AXIS)
+    deskew = cfg.lidar_type != LidarType.MARSIM
+    N = cfg.n_ds_max
+
+    # 1-3: replicated propagate/deskew/cube-slide/downsample
+    x, P_, pts_d, imu_carry = imu_mod.propagate_and_deskew(
+        x, P_, Q, imu_t_rel, imu_acc, imu_gyr, imu_mask, acc_scale,
+        last_end_rel, pcl_end_rel, imu_carry, pts, pt_time, deskew=deskew,
+    )
+    pos_lid = x.pos + so3.quat_rotate(x.rot, x.offset_T_L_I)
+    lm_lo, lm_hi, lm_init = fov_segment(cfg, pos_lid, lm_lo, lm_hi, lm_init)
+    m_local = hm.prune_outside(m_local, lm_lo, lm_hi)
+    pts_ds, ds_mask = voxel_downsample(
+        pts_d, pt_mask, cfg.filter_size_surf, N
+    )
+
+    # 4: update with shard-merged kNN + sliced rows + psum'd reductions
+    cache0 = meas.empty_cache(N, pts_ds.dtype)
+    knn_fn = partial(_merged_knn, m_local, lcfg, k=meas.NUM_MATCH)
+    slice_mask = (jnp.arange(N) % n_devices) == my
+
+    def h_fn(x_i, converge, cache):
+        h_x, h, rows, cache, valid, _pw = meas.compute_measurement(
+            x_i, pts_ds, ds_mask, knn_fn, cache, converge,
+            cfg.extrinsic_est_en, row_mask=slice_mask,
+        )
+        return ekf.MeasOut(h_x, h, rows, valid, cache)
+
+    if do_update:
+        res = ekf.update_iterated(
+            x, P_, h_fn, cache0, cfg.laser_point_cov, cfg.max_iteration,
+            cfg.epsi, axis_name=AXIS,
+        )
+        x, P_, cache = res.x, res.P, res.carry
+        iters = res.iterations
+        n_eff = jnp.sum(cache.selected)
+    else:
+        cache = cache0
+        iters = jnp.asarray(0, jnp.int32)
+        n_eff = jnp.asarray(0, jnp.int32)
+
+    # 5: owner-routed insert
+    pts_world = meas.body_to_world(x, pts_ds)
+    add_mask, ds_flag = hm.insert_decisions(
+        pts_world, ds_mask, cache.nbrs, cache.found, ekf_inited,
+        cfg.filter_size_map,
+    )
+    owner = _owner_of(
+        hm._cell_of(pts_world, lcfg.cell_size), lcfg, n_devices
+    )
+    add_mine = jnp.logical_and(add_mask, owner == my)
+    m_local = hm.insert(m_local, lcfg, pts_world, add_mine, ds_flag)
+
+    diag = dict(
+        n_down=jnp.sum(ds_mask),
+        n_eff=n_eff,
+        iters=iters,
+        map_size=jax.lax.psum(hm.map_size(m_local), AXIS),
+    )
+    return (x, P_, m_local, imu_carry, (lm_lo, lm_hi, lm_init), pts_world,
+            ds_mask, diag)
+
+
+def make_sharded_step(cfg: Config, map_cfg: hm.MapConfig, mesh: Mesh):
+    """shard_map-wrapped full step.  Map arrays sharded on the bucket dim;
+    all other inputs/outputs replicated."""
+    n = mesh.devices.size
+    body = partial(sharded_lio_step, cfg, map_cfg, n)
+
+    map_specs = hm.Map(pts=P(AXIS), valid=P(AXIS), dropped=P(AXIS))
+    rep = P()
+    x_spec = st.State(*([rep] * 8))
+    carry_spec = imu_mod.ImuCarry(rep, rep)
+    in_specs = (
+        x_spec, rep, map_specs, carry_spec, rep,  # x, P, map, imu_carry, Q
+        rep, rep, rep, rep,  # imu block
+        rep, rep, rep,  # scalars
+        rep, rep, rep,  # scan block
+        rep, rep, rep, rep,  # lm_lo, lm_hi, lm_init, ekf_inited
+    )
+    diag_spec = dict(n_down=rep, n_eff=rep, iters=rep, map_size=rep)
+    out_specs = (x_spec, rep, map_specs, carry_spec, (rep, rep, rep), rep,
+                 rep, diag_spec)
+
+    inner = jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(inner, donate_argnums=(2,), static_argnames=())
+
+
+# ---------------------------------------------------------------------------
+# driver dry run
+# ---------------------------------------------------------------------------
+
+
+def dryrun(devices: Sequence) -> None:
+    """Build an n-device mesh, jit the full sharded step, run one step on
+    tiny shapes (the driver validates multi-chip sharding with virtual CPU
+    devices through this)."""
+    import __graft_entry__ as ge  # reuse the example-input builder
+
+    n = len(devices)
+    mesh = Mesh(np.asarray(devices), (AXIS,))
+
+    cfg = Config(
+        lidar_type=LidarType.AVIA,
+        n_points_max=1024,
+        n_ds_max=512,
+        n_imu_max=8,
+        map_h_log2=10,
+        map_bucket_slots=8,
+    )
+    map_cfg = hm.make_config(
+        voxel_size=cfg.filter_size_map,
+        h_log2=cfg.map_h_log2,
+        bucket_slots=cfg.map_bucket_slots,
+    )
+    dtype = jnp.float32
+    args = list(ge._example_inputs(cfg, map_cfg, dtype))
+    args[2] = make_sharded_map(map_cfg, mesh, dtype)
+
+    step = make_sharded_step(cfg, map_cfg, mesh)
+    out = step(*args)
+    jax.block_until_ready(out)
+    # run a second step feeding the outputs back (exercises donation + the
+    # populated-map path)
+    args2 = list(args)
+    args2[0], args2[1], args2[2], args2[3] = out[0], out[1], out[2], out[3]
+    args2[15], args2[16], args2[17] = out[4]  # local-map cube state
+    out2 = step(*args2)
+    jax.block_until_ready(out2)
+    print(f"dryrun_multichip OK on {n} devices: map_size="
+          f"{int(out2[7]['map_size'])}")

@@ -1,0 +1,432 @@
+"""The LIO pipeline: host orchestration around one jitted per-scan step.
+
+TPU-native re-design of the reference node's main loop
+(/root/reference/src/laserMapping.cpp:865-1019).  The reference's
+callback/polling architecture (mutex deques + 5 kHz spin) collapses into:
+
+  host: sensor buffering + packet sync (sync_packages analog) + IMU static
+        init + local-map cube bookkeeping + padding/bucketing
+  device (one jit): IMU propagate + deskew -> voxel downsample -> iterated
+        point-to-plane iEKF update -> map insert, all fixed shapes
+
+Per-scan dataflow matches SURVEY.md §3.3 stage for stage; timing is recorded
+per stage in the reference's CSV schema (laserMapping.cpp:1042-1044) via
+utils.timing.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import imu as imu_mod
+from . import state as st
+from .config import Config, LidarType
+from .filter import ekf, process
+from .map import hash_map as hm
+from .math import so3
+from .ops import measurement as meas
+from .ops.voxel_grid import voxel_downsample
+
+MOV_THRESHOLD = 1.5  # laserMapping.cpp:78
+
+
+@dataclasses.dataclass
+class ScanPacket:
+    """A synced measurement packet (the MeasureGroup analog, common_lib.h:55-66)."""
+
+    lidar_beg_time: float
+    lidar_end_time: float
+    pts: np.ndarray  # (n, 3) f32, LiDAR frame
+    pt_time: np.ndarray  # (n,) seconds, offset from lidar_beg_time
+    imu_t: np.ndarray  # (m,) absolute seconds
+    imu_acc: np.ndarray  # (m, 3)
+    imu_gyr: np.ndarray  # (m, 3)
+
+
+class SyncBuffer:
+    """sync_packages (laserMapping.cpp:368-424): pair one LiDAR scan with all
+    IMU messages up to the scan-end time, with the mean-scantime fallback for
+    degenerate scans."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.lidar_buf: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        self.imu_t: List[float] = []
+        self.imu_acc: List[np.ndarray] = []
+        self.imu_gyr: List[np.ndarray] = []
+        self.mean_scantime = 0.0
+        self.scan_num = 0
+        self.last_timestamp_lidar = -np.inf
+        self.last_timestamp_imu = -np.inf
+        self.last_imu: Optional[Tuple[float, np.ndarray, np.ndarray]] = None
+
+    def push_lidar(self, stamp: float, pts: np.ndarray, pt_time: np.ndarray):
+        if stamp < self.last_timestamp_lidar:  # loop-back clear (:284-288)
+            self.lidar_buf.clear()
+        self.last_timestamp_lidar = stamp
+        self.lidar_buf.append((stamp, pts, pt_time))
+
+    def push_imu(self, t: float, acc: np.ndarray, gyr: np.ndarray):
+        t = t - self.cfg.time_offset_lidar_to_imu
+        if t < self.last_timestamp_imu:  # loop-back clear (:353-357)
+            self.imu_t.clear()
+            self.imu_acc.clear()
+            self.imu_gyr.clear()
+        self.last_timestamp_imu = t
+        self.imu_t.append(t)
+        self.imu_acc.append(np.asarray(acc, np.float64))
+        self.imu_gyr.append(np.asarray(gyr, np.float64))
+
+    def pop_packet(self) -> Optional[ScanPacket]:
+        if not self.lidar_buf or not self.imu_t:
+            return None
+        stamp, pts, pt_time = self.lidar_buf[0]
+        if len(pts) <= 1:
+            end = stamp + self.mean_scantime
+        elif pt_time[-1] < 0.5 * self.mean_scantime:
+            end = stamp + self.mean_scantime
+        else:
+            self.scan_num += 1
+            end = stamp + pt_time[-1]
+            self.mean_scantime += (pt_time[-1] - self.mean_scantime) / self.scan_num
+        if self.cfg.lidar_type == LidarType.MARSIM:
+            end = stamp
+        if self.last_timestamp_imu < end:
+            return None  # wait for IMU to catch up
+
+        # IMU block: previous tail sample + all samples <= scan end
+        take = 0
+        while take < len(self.imu_t) and self.imu_t[take] <= end:
+            take += 1
+        sel_t = self.imu_t[:take]
+        sel_a = self.imu_acc[:take]
+        sel_g = self.imu_gyr[:take]
+        if self.last_imu is not None:
+            sel_t = [self.last_imu[0]] + sel_t
+            sel_a = [self.last_imu[1]] + sel_a
+            sel_g = [self.last_imu[2]] + sel_g
+        if take:
+            self.last_imu = (self.imu_t[take - 1], self.imu_acc[take - 1],
+                             self.imu_gyr[take - 1])
+        del self.imu_t[:take], self.imu_acc[:take], self.imu_gyr[:take]
+        self.lidar_buf.pop(0)
+        return ScanPacket(
+            lidar_beg_time=stamp,
+            lidar_end_time=end,
+            pts=pts,
+            pt_time=pt_time,
+            imu_t=np.asarray(sel_t),
+            imu_acc=np.stack(sel_a) if sel_a else np.zeros((0, 3)),
+            imu_gyr=np.stack(sel_g) if sel_g else np.zeros((0, 3)),
+        )
+
+
+@dataclasses.dataclass
+class StepDiag:
+    """Per-scan diagnostics (the runtime_pos_log fields).
+
+    Device-produced fields (n_down/n_effective/iterations/map_size) are held
+    as lazy device scalars so recording them never blocks the pipeline;
+    ``int()`` them (or call Pipeline.materialize_diags) to read.
+    """
+
+    n_raw: int = 0
+    n_down: object = 0
+    n_effective: object = 0
+    iterations: object = 0
+    map_size: object = 0
+    total_time: float = 0.0
+    preprocess_time: float = 0.0
+
+
+def fov_segment(cfg: Config, pos_lid, lm_lo, lm_hi, lm_init):
+    """Device-side lasermap_fov_segment (laserMapping.cpp:231-277): slide the
+    local-map cube when the LiDAR nears a face.  Pure jnp so the per-scan
+    step needs no host round trip; pruning to the new cube subsumes the
+    reference's vacated-slab deletions."""
+    dtype = pos_lid.dtype
+    cube = jnp.asarray(cfg.cube_side_length, dtype)
+    det = jnp.asarray(cfg.det_range, dtype)
+    half = cube / 2.0
+
+    init_lo = pos_lid - half
+    init_hi = pos_lid + half
+
+    d_lo = jnp.abs(pos_lid - lm_lo)
+    d_hi = jnp.abs(pos_lid - lm_hi)
+    thr = MOV_THRESHOLD * det
+    mov = jnp.maximum(
+        (cube - 2.0 * MOV_THRESHOLD * det) * 0.5 * 0.9,
+        det * (MOV_THRESHOLD - 1.0),
+    )
+    shift = jnp.where(d_lo <= thr, -mov, jnp.where(d_hi <= thr, mov, 0.0))
+    new_lo = jnp.where(lm_init, lm_lo + shift, init_lo)
+    new_hi = jnp.where(lm_init, lm_hi + shift, init_hi)
+    return new_lo, new_hi, jnp.asarray(True)
+
+
+def lio_step(
+    cfg: Config,
+    map_cfg: hm.MapConfig,
+    x: st.State,
+    P,
+    m: hm.Map,
+    imu_carry: imu_mod.ImuCarry,
+    Q,
+    imu_t_rel,
+    imu_acc,
+    imu_gyr,
+    imu_mask,
+    acc_scale,
+    last_end_rel,
+    pcl_end_rel,
+    pts,
+    pt_time,
+    pt_mask,
+    lm_lo,
+    lm_hi,
+    lm_init,
+    ekf_inited,
+    do_update: bool = True,
+):
+    """One full per-scan LIO step (jittable; cfg/map_cfg/do_update static).
+
+    Fuses the reference's per-scan hot path (SURVEY.md §3.3): IMU propagate +
+    deskew -> local-map cube slide + prune -> voxel downsample -> iterated
+    point-to-plane iEKF update -> map insert.  Returns (x, P, map, imu_carry,
+    (lm_lo, lm_hi, lm_init), pts_world, ds_mask, diag).  Everything including
+    the cube bookkeeping lives on device: the host never syncs per scan.
+    """
+    deskew = cfg.lidar_type != LidarType.MARSIM
+
+    # 1. IMU propagate + deskew (hot loop #1)
+    x, P, pts_d, imu_carry = imu_mod.propagate_and_deskew(
+        x, P, Q, imu_t_rel, imu_acc, imu_gyr, imu_mask, acc_scale,
+        last_end_rel, pcl_end_rel, imu_carry, pts, pt_time, deskew=deskew,
+    )
+
+    # 2. local-map slide (prune to the new cube)
+    pos_lid = x.pos + so3.quat_rotate(x.rot, x.offset_T_L_I)
+    lm_lo, lm_hi, lm_init = fov_segment(cfg, pos_lid, lm_lo, lm_hi, lm_init)
+    m = hm.prune_outside(m, lm_lo, lm_hi)
+
+    # 3. input voxel downsample (PCL VoxelGrid analog)
+    pts_ds, ds_mask = voxel_downsample(
+        pts_d, pt_mask, cfg.filter_size_surf, cfg.n_ds_max
+    )
+
+    # 4. iterated point-to-plane update (hot loops #2-#4)
+    cache0 = meas.empty_cache(cfg.n_ds_max, pts_ds.dtype)
+    knn_fn = partial(hm.knn_search, m, map_cfg)
+
+    def h_fn(x_i, converge, cache):
+        h_x, h, sel, cache, valid, _pw = meas.compute_measurement(
+            x_i, pts_ds, ds_mask, knn_fn, cache, converge,
+            cfg.extrinsic_est_en,
+        )
+        return ekf.MeasOut(h_x, h, sel, valid, cache)
+
+    if do_update:
+        res = ekf.update_iterated(
+            x, P, h_fn, cache0, cfg.laser_point_cov, cfg.max_iteration,
+            cfg.epsi,
+        )
+        x, P, cache = res.x, res.P, res.carry
+        iters = res.iterations
+        n_eff = jnp.sum(cache.selected)
+    else:
+        cache = cache0
+        iters = jnp.asarray(0, jnp.int32)
+        n_eff = jnp.asarray(0, jnp.int32)
+
+    # 5. map insert with hysteresis (hot loop #5)
+    pts_world = meas.body_to_world(x, pts_ds)
+    add_mask, ds_flag = hm.insert_decisions(
+        pts_world, ds_mask, cache.nbrs, cache.found, ekf_inited,
+        cfg.filter_size_map,
+    )
+    m = hm.insert(m, map_cfg, pts_world, add_mask, ds_flag)
+
+    diag = dict(
+        n_down=jnp.sum(ds_mask), n_eff=n_eff, iters=iters,
+        map_size=hm.map_size(m),
+    )
+    return x, P, m, imu_carry, (lm_lo, lm_hi, lm_init), pts_world, ds_mask, diag
+
+
+class Pipeline:
+    """End-to-end odometry: feed packets, read poses."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.dtype = jnp.dtype(cfg.compute_dtype)
+        self.map_cfg = hm.make_config(
+            voxel_size=cfg.filter_size_map,
+            h_log2=cfg.map_h_log2,
+            bucket_slots=cfg.map_bucket_slots,
+        )
+        self.sync = SyncBuffer(cfg)
+
+        # estimator state (device)
+        self.x = st.identity_state(self.dtype)
+        self.P = jnp.eye(st.DOF, dtype=self.dtype)
+        self.Q = process.process_noise_cov(
+            cfg.gyr_cov, cfg.acc_cov, cfg.b_gyr_cov, cfg.b_acc_cov, self.dtype
+        )
+        self.map = hm.make_map(self.map_cfg, self.dtype)
+        self.imu_carry = imu_mod.init_imu_carry(self.dtype)
+
+        # local-map cube state lives on device (no per-scan host sync)
+        self.lm_state = (
+            jnp.zeros(3, self.dtype),
+            jnp.zeros(3, self.dtype),
+            jnp.asarray(False),
+        )
+
+        # host state
+        self.imu_stats = imu_mod.empty_stats()
+        self.imu_need_init = True
+        self.acc_scale = 1.0
+        self.first_lidar_time: Optional[float] = None
+        self.last_lidar_end_time = 0.0
+        self.map_built = False
+        # trajectory holds (stamp, pos, quat) with pos/quat as device-array
+        # handles; get_trajectory() materializes them
+        self.trajectory: List[Tuple[float, jnp.ndarray, jnp.ndarray]] = []
+        self.diags: List[StepDiag] = []
+        self.last_pts_world = None  # device handles
+        self.last_pts_world_mask = None
+
+        self._step_fn = self._build_step()
+
+    # ------------------------------------------------------------------
+    # jitted kernels
+    # ------------------------------------------------------------------
+
+    def _build_step(self):
+        return jax.jit(
+            partial(lio_step, self.cfg, self.map_cfg),
+            donate_argnums=(2,),
+            static_argnames=("do_update",),
+        )
+
+    # ------------------------------------------------------------------
+    # host orchestration
+    # ------------------------------------------------------------------
+
+    def get_trajectory(self):
+        """Materialized trajectory [(t, pos np(3,), quat np(4,)), ...]."""
+        return [
+            (t, np.asarray(jax.device_get(p), np.float64),
+             np.asarray(jax.device_get(q), np.float64))
+            for t, p, q in self.trajectory
+        ]
+
+    def push_lidar(self, stamp, pts, pt_time):
+        self.sync.push_lidar(float(stamp), pts, pt_time)
+
+    def push_imu(self, t, acc, gyr):
+        self.sync.push_imu(float(t), acc, gyr)
+
+    def spin_once(self) -> bool:
+        """Process at most one synced packet.  Returns True if one was run."""
+        pkt = self.sync.pop_packet()
+        if pkt is None:
+            return False
+        self.process_packet(pkt)
+        return True
+
+    def _pad_scan(self, pkt: ScanPacket):
+        n_max = self.cfg.n_points_max
+        n = min(len(pkt.pts), n_max)
+        pts = np.zeros((n_max, 3), np.float32)
+        ptt = np.zeros(n_max, np.float32)
+        pts[:n] = pkt.pts[:n]
+        ptt[:n] = pkt.pt_time[:n]
+        mask = np.arange(n_max) < n
+        return pts, ptt, mask
+
+    def _pad_imu(self, pkt: ScanPacket):
+        m_max = self.cfg.n_imu_max
+        m = min(len(pkt.imu_t), m_max)
+        t = np.full(m_max, 1e9, np.float32)
+        acc = np.zeros((m_max, 3), np.float32)
+        gyr = np.zeros((m_max, 3), np.float32)
+        t[:m] = pkt.imu_t[:m] - pkt.lidar_beg_time
+        acc[:m] = pkt.imu_acc[:m]
+        gyr[:m] = pkt.imu_gyr[:m]
+        mask = np.arange(m_max) < m
+        return t, acc, gyr, mask
+
+    def process_packet(self, pkt: ScanPacket):
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        diag = StepDiag(n_raw=len(pkt.pts))
+
+        if self.first_lidar_time is None:
+            self.first_lidar_time = pkt.lidar_beg_time
+
+        # ---- IMU static init phase (IMU_Processing.hpp:356-380) ----
+        if self.imu_need_init:
+            if len(pkt.imu_t):
+                self.imu_stats = imu_mod.update_stats(
+                    self.imu_stats, pkt.imu_acc, pkt.imu_gyr
+                )
+                if self.imu_stats.n > cfg.max_ini_count:
+                    self.x, self.P = imu_mod.make_init_state(
+                        self.imu_stats, cfg.extrinsic_R_mat,
+                        cfg.extrinsic_T_vec, self.dtype,
+                    )
+                    self.acc_scale = float(
+                        st.G_M_S2 / np.linalg.norm(self.imu_stats.mean_acc)
+                    )
+                    self.imu_need_init = False
+            self.last_lidar_end_time = pkt.lidar_end_time
+            return
+
+        pts, ptt, pt_mask = self._pad_scan(pkt)
+        imu_t, imu_acc, imu_gyr, imu_mask = self._pad_imu(pkt)
+        last_end_rel = self.last_lidar_end_time - pkt.lidar_beg_time
+        pcl_end_rel = pkt.lidar_end_time - pkt.lidar_beg_time
+
+        ekf_inited = (
+            pkt.lidar_beg_time - self.first_lidar_time
+        ) >= cfg.init_time
+
+        # NO host<->device syncs below: the step is dispatched asynchronously
+        # and every readback (trajectory pose, diagnostics, world cloud) is a
+        # lazy device-array handle materialized on demand.
+        do_update = self.map_built
+        (self.x, self.P, self.map, self.imu_carry, self.lm_state, pw, pwm, d
+         ) = self._step_fn(
+            self.x, self.P, self.map, self.imu_carry, self.Q,
+            jnp.asarray(imu_t), jnp.asarray(imu_acc), jnp.asarray(imu_gyr),
+            jnp.asarray(imu_mask), jnp.asarray(self.acc_scale, self.dtype),
+            jnp.asarray(last_end_rel, self.dtype),
+            jnp.asarray(pcl_end_rel, self.dtype),
+            jnp.asarray(pts), jnp.asarray(ptt), jnp.asarray(pt_mask),
+            *self.lm_state,
+            jnp.asarray(ekf_inited),
+            do_update=do_update,
+        )
+        if not self.map_built:
+            # one-time sync during startup: did the first scan seed the map?
+            self.map_built = int(d["n_down"]) > 5
+
+        self.last_lidar_end_time = pkt.lidar_end_time
+        self.last_pts_world = pw  # device handles; np.asarray() to fetch
+        self.last_pts_world_mask = pwm
+
+        diag.n_effective = d["n_eff"]
+        diag.iterations = d["iters"]
+        diag.n_down = d["n_down"]
+        diag.map_size = d["map_size"]
+        diag.total_time = time.perf_counter() - t0
+        self.diags.append(diag)
+        self.trajectory.append((pkt.lidar_end_time, self.x.pos, self.x.rot))

@@ -1,0 +1,113 @@
+"""Estimator + map checkpointing (a capability the reference lacks —
+SURVEY.md §5 "Checkpoint/resume: None" — its only persistence is optional
+world-scan PCD accumulation, laserMapping.cpp:1024-1031).
+
+The whole LIO state is already pure data (state pytree, 23x23 covariance,
+map arrays, IMU carry), so checkpointing is one npz write; restore rebuilds
+the pytrees.  PCD export is provided for parity with pcd_save_en.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .. import imu as imu_mod
+from .. import state as st
+from ..map import hash_map as hm
+
+
+def save(path, x: st.State, P, m: hm.Map, imu_carry: imu_mod.ImuCarry,
+         meta: dict = None):
+    import jax
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrs = {
+        "pos": x.pos, "rot": x.rot, "offset_R_L_I": x.offset_R_L_I,
+        "offset_T_L_I": x.offset_T_L_I, "vel": x.vel, "bg": x.bg,
+        "ba": x.ba, "grav": x.grav, "P": P,
+        "map_pts": m.pts, "map_valid": m.valid, "map_dropped": m.dropped,
+        "angvel_last": imu_carry.angvel_last,
+        "acc_s_last": imu_carry.acc_s_last,
+    }
+    arrs = {k: np.asarray(jax.device_get(v)) for k, v in arrs.items()}
+    if meta:
+        for k, v in meta.items():
+            arrs[f"meta_{k}"] = np.asarray(v)
+    np.savez_compressed(path, **arrs)
+
+
+def load(path, dtype=None):
+    import jax.numpy as jnp
+
+    z = np.load(path)
+
+    def get(k):
+        a = z[k]
+        return jnp.asarray(a if dtype is None or a.dtype == bool else a.astype(dtype))
+
+    x = st.State(
+        pos=get("pos"), rot=get("rot"), offset_R_L_I=get("offset_R_L_I"),
+        offset_T_L_I=get("offset_T_L_I"), vel=get("vel"), bg=get("bg"),
+        ba=get("ba"), grav=get("grav"),
+    )
+    P = get("P")
+    m = hm.Map(pts=get("map_pts"), valid=jnp.asarray(z["map_valid"]),
+               dropped=jnp.asarray(z["map_dropped"]))
+    carry = imu_mod.ImuCarry(get("angvel_last"), get("acc_s_last"))
+    meta = {k[5:]: z[k] for k in z.files if k.startswith("meta_")}
+    return x, P, m, carry, meta
+
+
+def save_pcd(path, pts: np.ndarray):
+    """Minimal binary PCD writer (scans.pcd parity, laserMapping.cpp:1026-1030)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    pts = np.asarray(pts, np.float32)
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+        f"WIDTH {len(pts)}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+        f"POINTS {len(pts)}\nDATA binary\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(pts.tobytes())
+
+
+def load_pcd(path) -> np.ndarray:
+    """Reads the x/y/z columns of a binary or ascii PCD file."""
+    raw = Path(path).read_bytes()
+    head_end = raw.find(b"DATA")
+    header = raw[:head_end].decode()
+    fields, sizes, types, counts, n_pts = [], [], [], [], 0
+    for line in header.splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "FIELDS":
+            fields = parts[1:]
+        elif parts[0] == "SIZE":
+            sizes = [int(v) for v in parts[1:]]
+        elif parts[0] == "TYPE":
+            types = parts[1:]
+        elif parts[0] == "COUNT":
+            counts = [int(v) for v in parts[1:]]
+        elif parts[0] == "POINTS":
+            n_pts = int(parts[1])
+    data_line_end = raw.find(b"\n", head_end) + 1
+    mode = raw[head_end:data_line_end].split()[1]
+    np_types = {("F", 4): "f4", ("F", 8): "f8", ("U", 1): "u1", ("U", 2): "u2",
+                ("U", 4): "u4", ("I", 1): "i1", ("I", 2): "i2", ("I", 4): "i4"}
+    dtype = np.dtype([
+        (f, np_types[(t, s)], (c,)) if c > 1 else (f, np_types[(t, s)])
+        for f, s, t, c in zip(fields, sizes, types, counts)
+    ])
+    if mode == b"binary":
+        arr = np.frombuffer(raw[data_line_end:], dtype=dtype, count=n_pts)
+    else:
+        arr = np.loadtxt(raw[data_line_end:].decode().splitlines(),
+                         dtype=np.float64)
+        return arr[:, :3].astype(np.float32)
+    return np.stack([arr["x"], arr["y"], arr["z"]], axis=-1).astype(np.float32)

@@ -1,0 +1,64 @@
+"""End-to-end odometry regression on the synthetic world (SURVEY.md §4:
+the bag-replay integration test the reference never automated)."""
+import numpy as np
+
+from fast_lio_tpu import sim as simlib
+from fast_lio_tpu.config import Config, LidarType
+from fast_lio_tpu.pipeline import Pipeline
+
+
+def run_sim(duration=3.0, noise=0.0, compute_dtype="float32"):
+    cfg = Config(
+        lidar_type=LidarType.AVIA,
+        filter_size_surf=0.3,
+        filter_size_map=0.3,
+        n_points_max=8192,
+        n_ds_max=4096,
+        n_imu_max=32,
+        map_h_log2=15,
+        det_range=40.0,
+        cube_side_length=300.0,
+        compute_dtype=compute_dtype,
+    )
+    data = simlib.generate(simlib.SimConfig(duration=duration, range_noise=noise))
+    pipe = Pipeline(cfg)
+    imu_i = 0
+    for k in range(len(data.scans)):
+        stamp = data.scan_stamps[k]
+        end = stamp + 0.1
+        while imu_i < len(data.imu_t) and data.imu_t[imu_i] <= end + 1e-9:
+            pipe.push_imu(data.imu_t[imu_i], data.imu_acc[imu_i], data.imu_gyr[imu_i])
+            imu_i += 1
+        pipe.push_lidar(stamp, data.scans[k], data.scan_pt_times[k])
+        while pipe.spin_once():
+            pass
+    return pipe, data
+
+
+def test_e2e_ate_noise_free():
+    pipe, data = run_sim(duration=3.0, noise=0.0)
+    ate = simlib.ate_rmse(pipe.trajectory, data)
+    assert ate < 0.05, f"ATE {ate * 100:.1f} cm too large"
+    assert len(pipe.trajectory) >= 20
+    # filter must actually be using points
+    assert pipe.diags[-1].n_effective > 500
+
+
+def test_e2e_ate_with_range_noise():
+    pipe, data = run_sim(duration=3.0, noise=0.02)
+    ate = simlib.ate_rmse(pipe.trajectory, data)
+    assert ate < 0.10, f"ATE {ate * 100:.1f} cm too large under noise"
+
+
+def test_e2e_velocity_tracked():
+    """At the end of the constant-ish motion the estimated velocity must be
+    close to the ground-truth finite-difference velocity."""
+    pipe, data = run_sim(duration=3.0)
+    t_end = pipe.trajectory[-1][0]
+    h = 1e-4
+    traj = simlib.Trajectory()
+    v_gt = (traj.pos(t_end + h) - traj.pos(t_end - h)) / (2 * h)
+    import jax
+
+    v_est = np.asarray(jax.device_get(pipe.x.vel))
+    np.testing.assert_allclose(v_est, v_gt, atol=0.08)

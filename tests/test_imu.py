@@ -25,16 +25,14 @@ def run_prop(x, imu_t, acc, gyr, mask, beg, end, pts=None, ptt=None, carry=None)
         pts = jnp.zeros((4, 3), dtype=DT)
         ptt = jnp.zeros(4, dtype=DT)
     if carry is None:
-        carry = imu.ImuCarry(
-            jnp.zeros(3, DT), jnp.zeros(3, DT), jnp.asarray(beg, jnp.float64)
-        )
+        carry = imu.ImuCarry(jnp.zeros(3, DT), jnp.zeros(3, DT))
     P = jnp.eye(23, dtype=DT)
     return imu.propagate_and_deskew(
         x, P, zero_Q(),
-        jnp.asarray(imu_t), jnp.asarray(acc, DT), jnp.asarray(gyr, DT),
+        jnp.asarray(imu_t) - beg, jnp.asarray(acc, DT), jnp.asarray(gyr, DT),
         jnp.asarray(mask),
         jnp.asarray(1.0, DT),
-        jnp.asarray(beg, jnp.float64), jnp.asarray(end, jnp.float64),
+        jnp.asarray(0.0, DT), jnp.asarray(end - beg, DT),
         carry, jnp.asarray(pts, DT), jnp.asarray(ptt, DT),
     )
 
@@ -51,7 +49,6 @@ def test_static_hover():
     x_end, P_end, _, carry = run_prop(x, imu_t, acc, gyr, mask, 0.0, 0.1)
     np.testing.assert_allclose(np.asarray(x_end.pos), 0.0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(x_end.vel), 0.0, atol=1e-12)
-    np.testing.assert_allclose(float(carry.last_lidar_end_time), 0.1)
 
 
 def test_constant_acceleration():

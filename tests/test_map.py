@@ -1,0 +1,151 @@
+"""Voxel-hash map: kNN vs brute force, insert hysteresis, prune semantics."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from fast_lio_tpu.map import hash_map as hm
+
+RNG = np.random.default_rng(11)
+CFG = hm.MapConfig(h_log2=12, bucket_slots=16, cell_size=1.0, voxel_size=0.5)
+
+
+def build_map(points):
+    m = hm.make_map(CFG, jnp.float64)
+    pts = jnp.asarray(points)
+    n = pts.shape[0]
+    return hm.insert(
+        m, CFG, pts, jnp.ones(n, bool), jnp.zeros(n, bool)
+    )  # no downsample: keep all
+
+
+def brute_knn(points, queries, k):
+    d2 = ((queries[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=1)[:, :k]
+    return np.take_along_axis(d2, idx, axis=1)
+
+
+def test_knn_matches_brute_force_within_cell_radius():
+    """Inside the guaranteed coverage radius (= cell_size) the hash-grid kNN
+    must agree exactly with brute force."""
+    pts = RNG.uniform(-8, 8, size=(2000, 3))
+    m = build_map(pts)
+    queries = RNG.uniform(-6, 6, size=(100, 3))
+    nbrs, sq, found = hm.knn_search(m, CFG, jnp.asarray(queries), k=5)
+    sq_bf = brute_knn(pts, queries, 5)
+    sq = np.asarray(sq)
+    for i in range(len(queries)):
+        for j in range(5):
+            if sq_bf[i, j] <= CFG.cell_size**2:
+                assert abs(sq[i, j] - sq_bf[i, j]) < 1e-9, (i, j, sq[i, j], sq_bf[i, j])
+
+
+def test_knn_neighbors_are_real_points():
+    pts = RNG.uniform(-5, 5, size=(500, 3))
+    m = build_map(pts)
+    q = RNG.uniform(-4, 4, size=(40, 3))
+    nbrs, sq, found = hm.knn_search(m, CFG, jnp.asarray(q), k=5)
+    nbrs = np.asarray(nbrs)
+    for i in range(40):
+        for j in range(5):
+            if bool(found[i, j]):
+                d = np.abs(pts - nbrs[i, j]).sum(-1).min()
+                assert d < 1e-9
+
+
+def test_empty_map_returns_nothing():
+    m = hm.make_map(CFG, jnp.float64)
+    nbrs, sq, found = hm.knn_search(m, CFG, jnp.zeros((4, 3)), k=5)
+    assert not np.asarray(found).any()
+    assert np.isinf(np.asarray(sq)).all()
+
+
+def test_insert_downsample_keeps_nearest_to_voxel_center():
+    m = hm.make_map(CFG, jnp.float64)
+    # three points in the same 0.5 voxel [0, 0.5)^3; center (0.25,0.25,0.25)
+    pts = jnp.asarray(
+        [[0.40, 0.40, 0.40], [0.26, 0.24, 0.25], [0.05, 0.05, 0.05]]
+    )
+    m = hm.insert(m, CFG, pts, jnp.ones(3, bool), jnp.ones(3, bool))
+    assert int(hm.map_size(m)) == 1
+    kept = np.asarray(m.pts.reshape(-1, 3)[np.asarray(m.valid.reshape(-1))])
+    np.testing.assert_allclose(kept[0], [0.26, 0.24, 0.25], atol=0)
+
+
+def test_insert_downsample_replaces_incumbent():
+    m = hm.make_map(CFG, jnp.float64)
+    first = jnp.asarray([[0.05, 0.05, 0.05]])
+    m = hm.insert(m, CFG, first, jnp.ones(1, bool), jnp.ones(1, bool))
+    better = jnp.asarray([[0.24, 0.26, 0.25]])
+    m = hm.insert(m, CFG, better, jnp.ones(1, bool), jnp.ones(1, bool))
+    assert int(hm.map_size(m)) == 1
+    kept = np.asarray(m.pts.reshape(-1, 3)[np.asarray(m.valid.reshape(-1))])
+    np.testing.assert_allclose(kept[0], [0.24, 0.26, 0.25], atol=0)
+    worse = jnp.asarray([[0.4, 0.4, 0.4]])
+    m = hm.insert(m, CFG, worse, jnp.ones(1, bool), jnp.ones(1, bool))
+    kept = np.asarray(m.pts.reshape(-1, 3)[np.asarray(m.valid.reshape(-1))])
+    assert int(hm.map_size(m)) == 1
+    np.testing.assert_allclose(kept[0], [0.24, 0.26, 0.25], atol=0)
+
+
+def test_insert_no_downsample_keeps_duplicates():
+    m = hm.make_map(CFG, jnp.float64)
+    pts = jnp.asarray([[0.1, 0.1, 0.1], [0.12, 0.1, 0.1], [0.14, 0.1, 0.1]])
+    m = hm.insert(m, CFG, pts, jnp.ones(3, bool), jnp.zeros(3, bool))
+    assert int(hm.map_size(m)) == 3
+
+
+def test_insert_mask_respected():
+    m = hm.make_map(CFG, jnp.float64)
+    pts = jnp.asarray(RNG.uniform(-3, 3, size=(64, 3)))
+    mask = jnp.asarray(np.arange(64) < 10)
+    m = hm.insert(m, CFG, pts, mask, jnp.zeros(64, bool))
+    assert int(hm.map_size(m)) == 10
+
+
+def test_prune_outside_box():
+    pts = RNG.uniform(-10, 10, size=(800, 3))
+    m = build_map(pts)
+    lo, hi = jnp.asarray([-5.0, -5.0, -5.0]), jnp.asarray([5.0, 5.0, 5.0])
+    m2 = hm.prune_outside(m, lo, hi)
+    expected = int(((pts >= -5) & (pts <= 5)).all(-1).sum())
+    assert int(hm.map_size(m2)) == expected
+    # pruned map returns no neighbors outside the box
+    nbrs, sq, found = hm.knn_search(m2, CFG, jnp.asarray([[9.0, 9.0, 9.0]]), k=5)
+    nb = np.asarray(nbrs[0])[np.asarray(found[0])]
+    if len(nb):
+        assert (np.abs(nb) <= 5.0 + 1e-9).all()
+
+
+def test_insert_decisions_hysteresis():
+    """Reference policy (laserMapping.cpp:438-466)."""
+    vox = 0.5
+    p = jnp.asarray([[0.30, 0.30, 0.30]])  # voxel center (0.25,...)
+    mask = jnp.ones(1, bool)
+    inited = jnp.asarray(True)
+
+    # (a) nearest neighbor far outside the voxel on every axis -> add, no ds
+    far = np.tile([3.0, 3.0, 3.0], (5, 1))
+    add, ds = hm.insert_decisions(
+        p, mask, jnp.asarray(far)[None], jnp.ones((1, 5), bool), inited, vox
+    )
+    assert bool(add[0]) and not bool(ds[0])
+
+    # (b) a neighbor closer to the voxel center -> skip
+    near = np.tile([0.26, 0.26, 0.26], (5, 1))
+    add, ds = hm.insert_decisions(
+        p, mask, jnp.asarray(near)[None], jnp.ones((1, 5), bool), inited, vox
+    )
+    assert not bool(add[0])
+
+    # (c) neighbors in-voxel but all farther from center -> add with ds
+    far_in = np.tile([0.45, 0.45, 0.45], (5, 1))
+    add, ds = hm.insert_decisions(
+        p, mask, jnp.asarray(far_in)[None], jnp.ones((1, 5), bool), inited, vox
+    )
+    assert bool(add[0]) and bool(ds[0])
+
+    # (d) no neighbors -> add with ds
+    add, ds = hm.insert_decisions(
+        p, mask, jnp.zeros((1, 5, 3)), jnp.zeros((1, 5), bool), inited, vox
+    )
+    assert bool(add[0]) and bool(ds[0])
