@@ -1,0 +1,189 @@
+"""Command-line runner — the ``fastlio_mapping`` node analog.
+
+The reference is launched as ``roslaunch fast_lio mapping_avia.launch`` with a
+per-sensor YAML (laserMapping.cpp:756-863).  This runner replaces that with:
+
+    python -m fast_lio_tpu.cli --preset avia --bag data.bag \
+        --lid-topic /livox/lidar --imu-topic /livox/imu --out out/
+
+    python -m fast_lio_tpu.cli --sim --duration 10 --out out/
+
+Outputs (matching the reference's observability surface, SURVEY.md §5):
+  out/trajectory_tum.txt       TUM-format trajectory (t x y z qx qy qz qw)
+  out/pos_log.txt              full-state dump (dump_lio_state_to_log layout)
+  out/fast_lio_time_log.csv    timing CSV (reference schema)
+  out/scans.pcd                accumulated world cloud (--pcd-save)
+  out/checkpoint.npz           estimator+map checkpoint (--checkpoint)
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="fast_lio_tpu")
+    p.add_argument("--preset", default="avia",
+                   help="sensor preset: avia|horizon|mid360|ouster64|velodyne|marsim")
+    p.add_argument("--bag", help="ROS1 bag to replay")
+    p.add_argument("--lid-topic", default="/livox/lidar")
+    p.add_argument("--imu-topic", default="/livox/imu")
+    p.add_argument("--sim", action="store_true", help="run the synthetic world")
+    p.add_argument("--duration", type=float, default=10.0, help="sim duration")
+    p.add_argument("--max-scans", type=int, default=0)
+    p.add_argument("--out", default="out")
+    p.add_argument("--pcd-save", action="store_true")
+    p.add_argument("--checkpoint", action="store_true")
+    p.add_argument("--resume", help="checkpoint.npz to resume from")
+    p.add_argument("--platform", default=None, help="jax platform override")
+    p.add_argument("--runtime-pos-log", action="store_true")
+    # the reference's most-used parameter overrides
+    p.add_argument("--filter-size-surf", type=float)
+    p.add_argument("--filter-size-map", type=float)
+    p.add_argument("--max-iteration", type=int)
+    p.add_argument("--point-filter-num", type=int)
+    p.add_argument("--blind", type=float)
+    p.add_argument("--extrinsic-est-en", type=int)
+    p.add_argument("--feature-extract-enable", type=int)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fast_lio_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from .config import PRESETS
+    from .math import so3
+    from .pipeline import Pipeline
+    from .utils import checkpoint as ckpt
+    from .utils.timing import CSV_HEADER, ScanTiming, StateLog, TimingLog
+
+    cfg = PRESETS[args.preset]
+    overrides = {
+        "filter_size_surf": args.filter_size_surf,
+        "filter_size_map": args.filter_size_map,
+        "max_iteration": args.max_iteration,
+        "point_filter_num": args.point_filter_num,
+        "blind": args.blind,
+    }
+    overrides = {k: v for k, v in overrides.items() if v is not None}
+    if args.extrinsic_est_en is not None:
+        overrides["extrinsic_est_en"] = bool(args.extrinsic_est_en)
+    if args.feature_extract_enable is not None:
+        overrides["feature_extract_enable"] = bool(args.feature_extract_enable)
+    if args.runtime_pos_log:
+        overrides["runtime_pos_log"] = True
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    pipe = Pipeline(cfg)
+    if args.resume:
+        pipe.x, pipe.P, pipe.map, pipe.imu_carry, meta = ckpt.load(
+            args.resume, pipe.dtype
+        )
+        pipe.imu_need_init = False
+        pipe.map_built = True
+        pipe.acc_scale = float(meta.get("acc_scale", 1.0))
+        print(f"resumed from {args.resume}")
+
+    t0 = time.perf_counter()
+    if args.sim:
+        from . import sim as simlib
+
+        data = simlib.generate(simlib.SimConfig(duration=args.duration))
+        imu_i = 0
+        n = len(data.scans) if not args.max_scans else min(
+            args.max_scans, len(data.scans))
+        for k in range(n):
+            stamp = data.scan_stamps[k]
+            end = stamp + 0.1
+            while imu_i < len(data.imu_t) and data.imu_t[imu_i] <= end + 1e-9:
+                pipe.push_imu(data.imu_t[imu_i], data.imu_acc[imu_i],
+                              data.imu_gyr[imu_i])
+                imu_i += 1
+            pipe.push_lidar(stamp, data.scans[k], data.scan_pt_times[k])
+            while pipe.spin_once():
+                pass
+        ate = simlib.ate_rmse(pipe.trajectory, data)
+        print(f"sim ATE RMSE: {ate * 100:.2f} cm")
+    elif args.bag:
+        from .io.rosbag import replay_into_pipeline
+
+        n = replay_into_pipeline(
+            args.bag, pipe, args.lid_topic, args.imu_topic,
+            max_scans=args.max_scans or None,
+        )
+        print(f"replayed {n} scans from {args.bag}")
+    else:
+        print("nothing to do: pass --bag or --sim", file=sys.stderr)
+        return 1
+    wall = time.perf_counter() - t0
+
+    # ---- outputs ----
+    traj = pipe.get_trajectory()
+    with open(out / "trajectory_tum.txt", "w") as f:
+        for t, p, q in traj:  # q is wxyz -> TUM wants xyzw
+            f.write(f"{t:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                    f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n")
+
+    tlog = TimingLog()
+    for i, d in enumerate(pipe.diags):
+        tlog.append(ScanTiming(
+            time_stamp=traj[i][0] if i < len(traj) else 0.0,
+            total_time=d.total_time,
+            scan_point_size=int(d.n_raw),
+            tree_size_end=int(d.map_size),
+            add_point_size=int(d.n_down),
+            preprocess_time=d.preprocess_time,
+        ))
+    tlog.write_csv(out / "fast_lio_time_log.csv")
+
+    if args.runtime_pos_log and pipe.state_log:
+        slog = StateLog(out / "pos_log.txt")
+        t0s = pipe.state_log[0][0]
+        for t, x in pipe.state_log:
+            xh = jax.device_get(x)
+            rot_log = np.asarray(so3.so3_log(np.asarray(xh.rot)))
+            slog.append(
+                t - t0s, rot_log, np.asarray(xh.pos), np.asarray(xh.vel),
+                np.asarray(xh.bg), np.asarray(xh.ba), np.asarray(xh.grav),
+            )
+        slog.close()
+
+    if args.pcd_save and pipe.last_pts_world is not None:
+        pts = np.asarray(pipe.last_pts_world)
+        msk = np.asarray(pipe.last_pts_world_mask)
+        ckpt.save_pcd(out / "scans.pcd", pts[msk])
+
+    if args.checkpoint:
+        ckpt.save(out / "checkpoint.npz", pipe.x, pipe.P, pipe.map,
+                  pipe.imu_carry, meta={"acc_scale": pipe.acc_scale})
+
+    n_scans = len(traj)
+    summary = {
+        "scans": n_scans,
+        "wall_s": round(wall, 3),
+        "scans_per_sec": round(n_scans / max(wall, 1e-9), 2),
+        "out": str(out),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

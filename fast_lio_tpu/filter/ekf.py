@@ -80,6 +80,11 @@ def predict(
     Mirrors esekfom.hpp:279-383 specialized to the FAST-LIO manifold
     (static block structure unrolled at trace time).
     """
+    with jax.default_matmul_precision("highest"):
+        return _predict_impl(x, P, dt, Q, acc, gyro)
+
+
+def _predict_impl(x, P, dt, Q, acc, gyro):
     dtype = P.dtype
     f = process.f_dynamics(x, acc, gyro)
     fx = process.df_dx(x, acc, gyro)  # (24, 23)
@@ -230,6 +235,13 @@ def update_iterated(
     reduction of SURVEY.md §2.8 (exact, because those are the only
     cross-point quantities the update consumes, esekfom.hpp:1784,1804).
     """
+    with jax.default_matmul_precision("highest"):
+        return _update_iterated_impl(
+            x, P, h_fn, carry0, R, max_iter, epsi, axis_name
+        )
+
+
+def _update_iterated_impl(x, P, h_fn, carry0, R, max_iter, epsi, axis_name):
     dtype = P.dtype
     x_prop = x
     P_prop = P

@@ -234,24 +234,27 @@ def propagate_and_deskew(
         return x_end, P_end, pts, new_carry
 
     # ---- backward compensation as a vectorized gather ----
+    # (all rotations via quaternions: elementwise VPU math keeps full f32 on
+    # TPU where batched matmuls would default to bf16 inputs)
     t_p = pt_time.astype(dtype)  # (N,)
     head = jnp.clip(
         jnp.searchsorted(knot_t, t_p, side="left") - 1, 0, M - 2
     )
     tail = head + 1
-    R_head = so3.quat_to_matrix(knot_rot[head])  # (N,3,3)
+    q_head = knot_rot[head]  # (N,4)
     pos_head = knot_pos[head]
     vel_head = knot_vel[head]
     acc_tail = knot_acc[tail]
     gyr_tail = knot_gyr[tail]
     dt_p = (t_p - knot_t[head])[:, None]  # (N,1)
 
-    R_i = R_head @ so3.so3_exp_matrix(gyr_tail * dt_p)  # (N,3,3)
+    q_i = so3.quat_multiply(q_head, so3.so3_exp(gyr_tail * dt_p))  # (N,4)
     T_ei = pos_head + vel_head * dt_p + 0.5 * acc_tail * dt_p * dt_p - x_end.pos
 
-    R_ext = so3.quat_to_matrix(x_end.offset_R_L_I)
-    p_imu_i = jnp.einsum("nij,nj->ni", R_i, pts @ R_ext.T + x_end.offset_T_L_I) + T_ei
-    R_end = so3.quat_to_matrix(x_end.rot)
-    p_imu_e = p_imu_i @ R_end  # == R_end^T applied to rows
-    pts_out = (p_imu_e - x_end.offset_T_L_I) @ R_ext  # == R_ext^T rows
+    p_lidar_i = so3.quat_rotate(x_end.offset_R_L_I, pts) + x_end.offset_T_L_I
+    p_world_rel = so3.quat_rotate(q_i, p_lidar_i) + T_ei
+    p_imu_e = so3.quat_rotate(so3.quat_conjugate(x_end.rot), p_world_rel)
+    pts_out = so3.quat_rotate(
+        so3.quat_conjugate(x_end.offset_R_L_I), p_imu_e - x_end.offset_T_L_I
+    )
     return x_end, P_end, pts_out, new_carry

@@ -227,6 +227,130 @@ class BagReader:
                 yield topic, mtype, stamp, parser(rec)
 
 
+# ---------------------------------------------------------------------------
+# minimal writer (uncompressed, single chunk) — enough for tests/recording
+# ---------------------------------------------------------------------------
+
+
+def _field(name: str, value: bytes) -> bytes:
+    f = name.encode() + b"=" + value
+    return struct.pack("<I", len(f)) + f
+
+
+def _record(header_fields: dict, data: bytes) -> bytes:
+    h = b"".join(_field(k, v) for k, v in header_fields.items())
+    return struct.pack("<I", len(h)) + h + struct.pack("<I", len(data)) + data
+
+
+def _ser_header(stamp: float, frame: str = "") -> bytes:
+    secs = int(stamp)
+    nsecs = int(round((stamp - secs) * 1e9))
+    fb = frame.encode()
+    return struct.pack("<III", 0, secs, nsecs) + struct.pack("<I", len(fb)) + fb
+
+
+def serialize_imu(stamp, acc, gyr) -> bytes:
+    out = _ser_header(stamp)
+    out += struct.pack("<4d", 0.0, 0.0, 0.0, 1.0)
+    out += struct.pack("<9d", *([0.0] * 9))
+    out += struct.pack("<3d", *gyr)
+    out += struct.pack("<9d", *([0.0] * 9))
+    out += struct.pack("<3d", *acc)
+    out += struct.pack("<9d", *([0.0] * 9))
+    return out
+
+
+def serialize_livox(stamp, xyz, reflectivity, offset_ns, tag, line) -> bytes:
+    n = len(xyz)
+    out = _ser_header(stamp, "livox_frame")
+    out += struct.pack("<QIB3B", int(stamp * 1e9), n, 0, 0, 0, 0)
+    out += struct.pack("<I", n)
+    rec = np.zeros(n, dtype=np.dtype(
+        [("offset_time", "<u4"), ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+         ("reflectivity", "u1"), ("tag", "u1"), ("line", "u1")]))
+    rec["offset_time"] = offset_ns
+    rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    rec["reflectivity"] = reflectivity
+    rec["tag"] = tag
+    rec["line"] = line
+    return out + rec.tobytes()
+
+
+def serialize_pointcloud2(stamp, fields_arrays: dict) -> bytes:
+    """fields_arrays: ordered {name: np 1-D array}; builds a dense cloud."""
+    names = list(fields_arrays.keys())
+    arrs = [np.ascontiguousarray(fields_arrays[k]) for k in names]
+    n = len(arrs[0])
+    dt_codes = {np.dtype(np.int8): 1, np.dtype(np.uint8): 2,
+                np.dtype(np.int16): 3, np.dtype(np.uint16): 4,
+                np.dtype(np.int32): 5, np.dtype(np.uint32): 6,
+                np.dtype(np.float32): 7, np.dtype(np.float64): 8}
+    out = _ser_header(stamp, "lidar")
+    out += struct.pack("<II", 1, n)  # height, width
+    out += struct.pack("<I", len(names))
+    off = 0
+    offsets = []
+    for a in arrs:
+        offsets.append(off)
+        off += a.dtype.itemsize
+    point_step = off
+    for name, a, o in zip(names, arrs, offsets):
+        nb = name.encode()
+        out += struct.pack("<I", len(nb)) + nb
+        out += struct.pack("<IBI", o, dt_codes[a.dtype], 1)
+    raw = np.zeros((n, point_step), np.uint8)
+    for a, o in zip(arrs, offsets):
+        raw[:, o:o + a.dtype.itemsize] = (
+            a.view(np.uint8).reshape(n, a.dtype.itemsize))
+    out += struct.pack("<BII", 0, point_step, point_step * n)
+    out += struct.pack("<I", raw.nbytes) + raw.tobytes()
+    out += struct.pack("<B", 1)
+    return out
+
+
+class BagWriter:
+    """Minimal ROS1 bag v2.0 writer (uncompressed single chunk)."""
+
+    def __init__(self, path):
+        self.path = Path(path)
+        self._conns = {}  # topic -> (conn_id, type)
+        self._chunk = b""
+
+    def _conn(self, topic: str, mtype: str) -> int:
+        if topic in self._conns:
+            return self._conns[topic][0]
+        cid = len(self._conns)
+        self._conns[topic] = (cid, mtype)
+        conn_data = (_field("topic", topic.encode())
+                     + _field("type", mtype.encode())
+                     + _field("md5sum", b"0" * 32)
+                     + _field("message_definition", b""))
+        self._chunk += _record(
+            {"op": b"\x07", "conn": struct.pack("<I", cid),
+             "topic": topic.encode()}, conn_data)
+        return cid
+
+    def write(self, topic: str, mtype: str, stamp: float, data: bytes):
+        cid = self._conn(topic, mtype)
+        secs = int(stamp)
+        nsecs = int(round((stamp - secs) * 1e9))
+        self._chunk += _record(
+            {"op": b"\x02", "conn": struct.pack("<I", cid),
+             "time": struct.pack("<II", secs, nsecs)}, data)
+
+    def close(self):
+        with open(self.path, "wb") as f:
+            f.write(b"#ROSBAG V2.0\n")
+            f.write(_record(
+                {"op": b"\x03", "index_pos": struct.pack("<Q", 0),
+                 "conn_count": struct.pack("<I", len(self._conns)),
+                 "chunk_count": struct.pack("<I", 1)},
+                b"\x00" * 4096))
+            f.write(_record(
+                {"op": b"\x05", "compression": b"none",
+                 "size": struct.pack("<I", len(self._chunk))}, self._chunk))
+
+
 def replay_into_pipeline(bag_path, pipeline, lidar_topic, imu_topic,
                          cfg=None, max_scans=None):
     """Feed a bag through a Pipeline (the `rosbag play` analog)."""

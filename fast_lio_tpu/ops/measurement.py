@@ -56,10 +56,12 @@ def empty_cache(n: int, dtype=jnp.float32) -> NeighborCache:
 
 
 def body_to_world(x: st.State, pts_body: jnp.ndarray) -> jnp.ndarray:
-    """p_w = R (R_ext p + t_ext) + pos, batched."""
-    R = so3.quat_to_matrix(x.rot)
-    R_ext = so3.quat_to_matrix(x.offset_R_L_I)
-    return (pts_body @ R_ext.T + x.offset_T_L_I) @ R.T + x.pos
+    """p_w = R (R_ext p + t_ext) + pos, batched.
+
+    Quaternion rotation (elementwise VPU ops) instead of a matmul: TPU dots
+    default to bf16 inputs, which costs centimeters on meter-scale points."""
+    p_imu = so3.quat_rotate(x.offset_R_L_I, pts_body) + x.offset_T_L_I
+    return so3.quat_rotate(x.rot, p_imu) + x.pos
 
 
 def compute_measurement(
@@ -98,15 +100,17 @@ def compute_measurement(
     gate = jnp.logical_and(plane_ok, s > ROBUST_S_GATE)
     sel = jnp.logical_and(cache.selected, gate)
 
-    # H rows (laserMapping.cpp:723-752)
-    R = so3.quat_to_matrix(x.rot)
-    R_ext = so3.quat_to_matrix(x.offset_R_L_I)
+    # H rows (laserMapping.cpp:723-752); all rotations via quats (see
+    # body_to_world for why)
     norm_vec = pabcd[:, :3]
-    C = norm_vec @ R  # R^T n, batched rows
-    p_imu = pts_body @ R_ext.T + x.offset_T_L_I  # point in IMU frame
+    C = so3.quat_rotate(so3.quat_conjugate(x.rot), norm_vec)  # R^T n
+    p_imu = so3.quat_rotate(x.offset_R_L_I, pts_body) + x.offset_T_L_I
     A = jnp.cross(p_imu, C)  # hat(p_imu) @ C
     if extrinsic_est:
-        B = jnp.cross(pts_body, C @ R_ext)  # hat(p_be) @ (R_ext^T C)
+        # hat(p_be) @ (R_ext^T C)
+        B = jnp.cross(
+            pts_body, so3.quat_rotate(so3.quat_conjugate(x.offset_R_L_I), C)
+        )
     else:
         B = jnp.zeros_like(A)
     h_x = jnp.concatenate([norm_vec, A, B, C], axis=-1)  # (N, 12)

@@ -56,6 +56,13 @@ def fit_plane(
     ok requires all K neighbors present, a non-degenerate neighborhood, and
     every neighbor within ``threshold`` of the plane (common_lib.h:249-255).
     """
+    import jax
+
+    with jax.default_matmul_precision("highest"):
+        return _fit_plane_impl(neighbors, found, threshold)
+
+
+def _fit_plane_impl(neighbors, found, threshold):
     all_found = jnp.all(found, axis=-1)
 
     centroid = jnp.mean(neighbors, axis=-2)  # (N, 3)

@@ -150,18 +150,25 @@ def sharded_lio_step(
         )
         return ekf.MeasOut(h_x, h, rows, valid, cache)
 
-    if do_update:
+    def run_update(_):
         res = ekf.update_iterated(
             x, P_, h_fn, cache0, cfg.laser_point_cov, cfg.max_iteration,
             cfg.epsi, axis_name=AXIS,
         )
-        x, P_, cache = res.x, res.P, res.carry
-        iters = res.iterations
-        n_eff = jnp.sum(cache.selected)
+        return res.x, res.P, res.carry, res.iterations
+
+    def skip_update(_):
+        return x, P_, cache0, jnp.asarray(0, jnp.int32)
+
+    if isinstance(do_update, bool):
+        # static: avoids placing the psum-carrying branch inside a
+        # conditional (collectives in cond branches are backend-fragile)
+        x, P_, cache, iters = (run_update if do_update else skip_update)(None)
     else:
-        cache = cache0
-        iters = jnp.asarray(0, jnp.int32)
-        n_eff = jnp.asarray(0, jnp.int32)
+        x, P_, cache, iters = jax.lax.cond(
+            do_update, run_update, skip_update, operand=None
+        )
+    n_eff = jnp.sum(cache.selected)
 
     # 5: owner-routed insert
     pts_world = meas.body_to_world(x, pts_ds)

@@ -193,15 +193,19 @@ def lio_step(
     lm_hi,
     lm_init,
     ekf_inited,
-    do_update: bool = True,
+    do_update=True,
 ):
-    """One full per-scan LIO step (jittable; cfg/map_cfg/do_update static).
+    """One full per-scan LIO step (jittable; cfg/map_cfg static).
 
     Fuses the reference's per-scan hot path (SURVEY.md §3.3): IMU propagate +
     deskew -> local-map cube slide + prune -> voxel downsample -> iterated
     point-to-plane iEKF update -> map insert.  Returns (x, P, map, imu_carry,
     (lm_lo, lm_hi, lm_init), pts_world, ds_mask, diag).  Everything including
     the cube bookkeeping lives on device: the host never syncs per scan.
+
+    ``do_update`` may be a traced bool: the map-seeding first scan runs the
+    same compiled program with the update conditionally skipped (XLA compile
+    on the tunnel backend is expensive — one program, not two).
     """
     deskew = cfg.lidar_type != LidarType.MARSIM
 
@@ -232,18 +236,23 @@ def lio_step(
         )
         return ekf.MeasOut(h_x, h, sel, valid, cache)
 
-    if do_update:
+    def run_update(_):
         res = ekf.update_iterated(
             x, P, h_fn, cache0, cfg.laser_point_cov, cfg.max_iteration,
             cfg.epsi,
         )
-        x, P, cache = res.x, res.P, res.carry
-        iters = res.iterations
-        n_eff = jnp.sum(cache.selected)
+        return res.x, res.P, res.carry, res.iterations
+
+    def skip_update(_):
+        return x, P, cache0, jnp.asarray(0, jnp.int32)
+
+    if isinstance(do_update, bool):
+        x, P, cache, iters = (run_update if do_update else skip_update)(None)
     else:
-        cache = cache0
-        iters = jnp.asarray(0, jnp.int32)
-        n_eff = jnp.asarray(0, jnp.int32)
+        x, P, cache, iters = jax.lax.cond(
+            do_update, run_update, skip_update, operand=None
+        )
+    n_eff = jnp.sum(cache.selected)
 
     # 5. map insert with hysteresis (hot loop #5)
     pts_world = meas.body_to_world(x, pts_ds)
@@ -299,6 +308,7 @@ class Pipeline:
         # trajectory holds (stamp, pos, quat) with pos/quat as device-array
         # handles; get_trajectory() materializes them
         self.trajectory: List[Tuple[float, jnp.ndarray, jnp.ndarray]] = []
+        self.state_log: List[Tuple[float, st.State]] = []  # runtime_pos_log
         self.diags: List[StepDiag] = []
         self.last_pts_world = None  # device handles
         self.last_pts_world_mask = None
@@ -311,9 +321,7 @@ class Pipeline:
 
     def _build_step(self):
         return jax.jit(
-            partial(lio_step, self.cfg, self.map_cfg),
-            donate_argnums=(2,),
-            static_argnames=("do_update",),
+            partial(lio_step, self.cfg, self.map_cfg), donate_argnums=(2,)
         )
 
     # ------------------------------------------------------------------
@@ -413,7 +421,7 @@ class Pipeline:
             jnp.asarray(pts), jnp.asarray(ptt), jnp.asarray(pt_mask),
             *self.lm_state,
             jnp.asarray(ekf_inited),
-            do_update=do_update,
+            jnp.asarray(do_update),
         )
         if not self.map_built:
             # one-time sync during startup: did the first scan seed the map?
@@ -430,3 +438,5 @@ class Pipeline:
         diag.total_time = time.perf_counter() - t0
         self.diags.append(diag)
         self.trajectory.append((pkt.lidar_end_time, self.x.pos, self.x.rot))
+        if cfg.runtime_pos_log:
+            self.state_log.append((pkt.lidar_beg_time, self.x))

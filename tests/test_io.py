@@ -1,0 +1,98 @@
+"""rosbag writer/reader roundtrip for the three FAST-LIO message types."""
+import numpy as np
+
+from fast_lio_tpu.io import rosbag as rb
+
+RNG = np.random.default_rng(51)
+
+
+def make_bag(path):
+    w = rb.BagWriter(path)
+    # IMU stream
+    for i in range(5):
+        t = 100.0 + i * 0.01
+        w.write("/livox/imu", "sensor_msgs/Imu", t,
+                rb.serialize_imu(t, [0.1 * i, 0, 9.8], [0, 0.01 * i, 0]))
+    # Livox scan
+    n = 64
+    xyz = RNG.uniform(-10, 10, (n, 3)).astype(np.float32)
+    w.write("/livox/lidar", "livox_ros_driver/CustomMsg", 100.02,
+            rb.serialize_livox(100.02, xyz, np.arange(n) % 255,
+                               (np.arange(n) * 1000).astype(np.int64),
+                               np.full(n, 0x10, np.uint8),
+                               (np.arange(n) % 6).astype(np.uint8)))
+    # Velodyne-style PointCloud2
+    pc = {
+        "x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2],
+        "intensity": np.arange(n, dtype=np.float32),
+        "time": np.linspace(0, 99, n).astype(np.float32),
+        "ring": (np.arange(n) % 16).astype(np.uint16),
+    }
+    w.write("/velodyne_points", "sensor_msgs/PointCloud2", 100.05,
+            rb.serialize_pointcloud2(100.05, pc))
+    w.close()
+    return xyz
+
+
+def test_roundtrip(tmp_path):
+    bag = tmp_path / "t.bag"
+    xyz = make_bag(bag)
+    msgs = list(rb.BagReader(bag).messages())
+    topics = [m[0] for m in msgs]
+    assert topics.count("/livox/imu") == 5
+    assert topics.count("/livox/lidar") == 1
+    assert topics.count("/velodyne_points") == 1
+
+    for topic, mtype, stamp, msg in msgs:
+        if mtype == "sensor_msgs/Imu":
+            assert abs(msg["linear_acceleration"][2] - 9.8) < 1e-12
+        elif mtype == "livox_ros_driver/CustomMsg":
+            np.testing.assert_allclose(msg["xyz"], xyz, atol=1e-6)
+            assert (msg["tag"] == 0x10).all()
+            assert msg["offset_time_ns"][3] == 3000
+        elif mtype == "sensor_msgs/PointCloud2":
+            np.testing.assert_allclose(msg["xyz"], xyz, atol=1e-6)
+            assert msg["ring"][17] == 1
+            np.testing.assert_allclose(msg["time"][-1], 99.0, atol=1e-5)
+
+
+def test_topic_filter(tmp_path):
+    bag = tmp_path / "t.bag"
+    make_bag(bag)
+    msgs = list(rb.BagReader(bag).messages({"/livox/imu"}))
+    assert len(msgs) == 5
+    assert all(m[0] == "/livox/imu" for m in msgs)
+
+
+def test_replay_into_pipeline_smoke(tmp_path):
+    """A tiny bag drives the Pipeline through its ROS-replay entry point."""
+    import jax
+
+    from fast_lio_tpu.config import Config, LidarType
+    from fast_lio_tpu.pipeline import Pipeline
+
+    bag = tmp_path / "drive.bag"
+    w = rb.BagWriter(bag)
+    rng = np.random.default_rng(3)
+    for k in range(4):
+        t0 = 10.0 + 0.1 * k
+        for i in range(11):
+            t = t0 + i * 0.01
+            w.write("/livox/imu", "sensor_msgs/Imu", t,
+                    rb.serialize_imu(t, [0, 0, 9.81], [0, 0, 0]))
+        n = 256
+        xyz = rng.uniform(2, 8, (n, 3)).astype(np.float32)
+        w.write("/livox/lidar", "livox_ros_driver/CustomMsg", t0,
+                rb.serialize_livox(t0, xyz, np.ones(n),
+                                   np.linspace(0, 1e8, n).astype(np.int64),
+                                   np.full(n, 0x10, np.uint8),
+                                   np.zeros(n, np.uint8)))
+    w.close()
+
+    cfg = Config(lidar_type=LidarType.AVIA, blind=0.5, point_filter_num=1,
+                 n_points_max=512, n_ds_max=256, n_imu_max=16, map_h_log2=10)
+    pipe = Pipeline(cfg)
+    n = rb.replay_into_pipeline(bag, pipe, "/livox/lidar", "/livox/imu")
+    assert n == 4
+    # IMU init consumes the first packets; at least the sync machinery ran
+    assert pipe.sync.scan_num >= 3

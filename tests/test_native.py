@@ -1,0 +1,68 @@
+"""Native host library vs the numpy reference decoders."""
+import numpy as np
+import pytest
+
+from fast_lio_tpu import native
+from fast_lio_tpu.config import Config, LidarType, TimeUnit
+from fast_lio_tpu.preprocess.drivers import decode_avia, decode_ouster
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="liblio_host.so not built"
+)
+
+RNG = np.random.default_rng(41)
+
+
+def test_native_avia_matches_numpy():
+    cfg = Config(lidar_type=LidarType.AVIA, n_scans=6, blind=2.0,
+                 point_filter_num=3)
+    n = 5000
+    xyz = RNG.uniform(-20, 20, (n, 3))
+    refl = RNG.uniform(0, 255, n).astype(np.float32)
+    ons = (np.arange(n) * 1e4).astype(np.int64)
+    tag = RNG.choice([0x00, 0x10, 0x20, 0x30], n).astype(np.uint8)
+    line = RNG.integers(0, 8, n).astype(np.uint8)
+    # some duplicates
+    xyz[100] = xyz[99]
+    xyz[101] = xyz[100]
+
+    ref = decode_avia(xyz, refl, ons, tag, line, cfg)
+    got_xyz, got_t, got_i = native.decode_avia(
+        xyz.astype(np.float32), refl, ons, tag, line, cfg.n_scans,
+        cfg.blind, cfg.point_filter_num,
+    )
+    assert len(got_xyz) == len(ref.pts)
+    np.testing.assert_allclose(got_xyz, ref.pts, atol=0)
+    np.testing.assert_allclose(got_t, ref.time_offset_s, atol=1e-12)
+    np.testing.assert_allclose(got_i, ref.intensity, atol=0)
+
+
+def test_native_generic_matches_numpy_ouster():
+    cfg = Config(lidar_type=LidarType.OUST64, blind=1.5, point_filter_num=2,
+                 time_unit=TimeUnit.NS)
+    n = 3000
+    xyz = RNG.uniform(-30, 30, (n, 3))
+    inten = RNG.uniform(0, 100, n).astype(np.float32)
+    t = (np.arange(n) * 1e5).astype(np.int64)
+    ref = decode_ouster(xyz, inten, t, cfg)
+    got_xyz, got_t, got_i = native.decode_generic(
+        xyz.astype(np.float32), inten, t.astype(np.float64),
+        cfg.blind, cfg.point_filter_num, cfg.time_unit.to_ms * 1e-3,
+    )
+    assert len(got_xyz) == len(ref.pts)
+    np.testing.assert_allclose(got_xyz, ref.pts, atol=0)
+    np.testing.assert_allclose(got_t, ref.time_offset_s, atol=1e-15)
+
+
+def test_native_voxel_downsample_centroids():
+    n = 2000
+    xyz = RNG.uniform(-5, 5, (n, 3)).astype(np.float32)
+    out = native.voxel_downsample(xyz, 0.5)
+    # one centroid per occupied voxel
+    keys = set(map(tuple, np.floor(xyz / 0.5).astype(int)))
+    assert len(out) == len(keys)
+    # each centroid equals the mean of its voxel's points
+    for c in out[:50]:
+        cell = tuple(np.floor(c / 0.5).astype(int))
+        sel = np.all(np.floor(xyz / 0.5).astype(int) == cell, axis=1)
+        np.testing.assert_allclose(c, xyz[sel].mean(axis=0), atol=1e-5)
