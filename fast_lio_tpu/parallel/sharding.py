@@ -188,8 +188,9 @@ def sharded_lio_step(
         iters=iters,
         map_size=jax.lax.psum(hm.map_size(m_local), AXIS),
     )
-    return (x, P_, m_local, imu_carry, (lm_lo, lm_hi, lm_init), pts_world,
-            ds_mask, diag)
+    clouds = dict(world=pts_world, world_mask=ds_mask, body=pts_d,
+                  body_mask=pt_mask)
+    return (x, P_, m_local, imu_carry, (lm_lo, lm_hi, lm_init), clouds, diag)
 
 
 def make_sharded_step(cfg: Config, map_cfg: hm.MapConfig, mesh: Mesh):
@@ -210,8 +211,9 @@ def make_sharded_step(cfg: Config, map_cfg: hm.MapConfig, mesh: Mesh):
         rep, rep, rep, rep,  # lm_lo, lm_hi, lm_init, ekf_inited
     )
     diag_spec = dict(n_down=rep, n_eff=rep, iters=rep, map_size=rep)
-    out_specs = (x_spec, rep, map_specs, carry_spec, (rep, rep, rep), rep,
-                 rep, diag_spec)
+    clouds_spec = dict(world=rep, world_mask=rep, body=rep, body_mask=rep)
+    out_specs = (x_spec, rep, map_specs, carry_spec, (rep, rep, rep),
+                 clouds_spec, diag_spec)
 
     inner = jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -262,4 +264,4 @@ def dryrun(devices: Sequence) -> None:
     out2 = step(*args2)
     jax.block_until_ready(out2)
     print(f"dryrun_multichip OK on {n} devices: map_size="
-          f"{int(out2[7]['map_size'])}")
+          f"{int(out2[6]['map_size'])}")

@@ -215,10 +215,17 @@ def lio_step(
         last_end_rel, pcl_end_rel, imu_carry, pts, pt_time, deskew=deskew,
     )
 
-    # 2. local-map slide (prune to the new cube)
+    # 2. local-map slide; prune only when the cube actually moved (the
+    # reference's lazy Delete_Point_Boxes also only fires on movement)
     pos_lid = x.pos + so3.quat_rotate(x.rot, x.offset_T_L_I)
-    lm_lo, lm_hi, lm_init = fov_segment(cfg, pos_lid, lm_lo, lm_hi, lm_init)
-    m = hm.prune_outside(m, lm_lo, lm_hi)
+    new_lo, new_hi, lm_init2 = fov_segment(cfg, pos_lid, lm_lo, lm_hi, lm_init)
+    moved = jnp.logical_or(
+        jnp.any(new_lo != lm_lo), jnp.logical_not(lm_init)
+    )
+    lm_lo, lm_hi, lm_init = new_lo, new_hi, lm_init2
+    m = jax.lax.cond(
+        moved, lambda mm: hm.prune_outside(mm, lm_lo, lm_hi), lambda mm: mm, m
+    )
 
     # 3. input voxel downsample (PCL VoxelGrid analog)
     pts_ds, ds_mask = voxel_downsample(
@@ -266,7 +273,11 @@ def lio_step(
         n_down=jnp.sum(ds_mask), n_eff=n_eff, iters=iters,
         map_size=hm.map_size(m),
     )
-    return x, P, m, imu_carry, (lm_lo, lm_hi, lm_init), pts_world, ds_mask, diag
+    clouds = dict(
+        world=pts_world, world_mask=ds_mask,  # /cloud_registered (downsampled)
+        body=pts_d, body_mask=pt_mask,  # /cloud_registered_body (dense)
+    )
+    return x, P, m, imu_carry, (lm_lo, lm_hi, lm_init), clouds, diag
 
 
 class Pipeline:
@@ -320,9 +331,31 @@ class Pipeline:
     # ------------------------------------------------------------------
 
     def _build_step(self):
-        return jax.jit(
-            partial(lio_step, self.cfg, self.map_cfg), donate_argnums=(2,)
-        )
+        cfg, map_cfg = self.cfg, self.map_cfg
+
+        # Packed calling convention: the tunnel backend charges ~0.4 ms per
+        # host->device dispatch, so the per-scan inputs travel as THREE
+        # arrays — scan (N,4: xyz+t), imu (M,7: t+acc+gyr), scalars (7,) —
+        # and the masks are rebuilt on device from the counts.
+        def packed(x, P, m, imu_carry, Q, scan, imu, scalars, lm_lo, lm_hi,
+                   lm_init):
+            N = scan.shape[0]
+            M = imu.shape[0]
+            n_pts = scalars[3].astype(jnp.int32)
+            n_imu = scalars[4].astype(jnp.int32)
+            pt_mask = jnp.arange(N) < n_pts
+            imu_mask = jnp.arange(M) < n_imu
+            imu_t = jnp.where(imu_mask, imu[:, 0], 1e9)
+            return lio_step(
+                cfg, map_cfg, x, P, m, imu_carry, Q,
+                imu_t, imu[:, 1:4], imu[:, 4:7], imu_mask,
+                scalars[0], scalars[1], scalars[2],
+                scan[:, :3], scan[:, 3], pt_mask,
+                lm_lo, lm_hi, lm_init,
+                scalars[5] > 0.5, scalars[6] > 0.5,
+            )
+
+        return jax.jit(packed, donate_argnums=(2,))
 
     # ------------------------------------------------------------------
     # host orchestration
@@ -335,6 +368,18 @@ class Pipeline:
              np.asarray(jax.device_get(q), np.float64))
             for t, p, q in self.trajectory
         ]
+
+    def pose_covariance(self) -> np.ndarray:
+        """6x6 pose covariance, rotation block first — the reference's
+        odometry covariance layout (publish_odometry reorders P's pos/rot
+        blocks, laserMapping.cpp:596-606)."""
+        P = np.asarray(jax.device_get(self.P))
+        out = np.zeros((6, 6))
+        out[:3, :3] = P[3:6, 3:6]  # rot
+        out[3:, 3:] = P[0:3, 0:3]  # pos
+        out[:3, 3:] = P[3:6, 0:3]
+        out[3:, :3] = P[0:3, 3:6]
+        return out
 
     def push_lidar(self, stamp, pts, pt_time):
         self.sync.push_lidar(float(stamp), pts, pt_time)
@@ -351,26 +396,23 @@ class Pipeline:
         return True
 
     def _pad_scan(self, pkt: ScanPacket):
+        """Packed (n_max, 4) f32: xyz + per-point offset seconds."""
         n_max = self.cfg.n_points_max
         n = min(len(pkt.pts), n_max)
-        pts = np.zeros((n_max, 3), np.float32)
-        ptt = np.zeros(n_max, np.float32)
-        pts[:n] = pkt.pts[:n]
-        ptt[:n] = pkt.pt_time[:n]
-        mask = np.arange(n_max) < n
-        return pts, ptt, mask
+        scan = np.zeros((n_max, 4), np.float32)
+        scan[:n, :3] = pkt.pts[:n]
+        scan[:n, 3] = pkt.pt_time[:n]
+        return scan, n
 
     def _pad_imu(self, pkt: ScanPacket):
+        """Packed (m_max, 7) f32: rel-time + acc + gyr."""
         m_max = self.cfg.n_imu_max
         m = min(len(pkt.imu_t), m_max)
-        t = np.full(m_max, 1e9, np.float32)
-        acc = np.zeros((m_max, 3), np.float32)
-        gyr = np.zeros((m_max, 3), np.float32)
-        t[:m] = pkt.imu_t[:m] - pkt.lidar_beg_time
-        acc[:m] = pkt.imu_acc[:m]
-        gyr[:m] = pkt.imu_gyr[:m]
-        mask = np.arange(m_max) < m
-        return t, acc, gyr, mask
+        imu = np.zeros((m_max, 7), np.float32)
+        imu[:m, 0] = pkt.imu_t[:m] - pkt.lidar_beg_time
+        imu[:m, 1:4] = pkt.imu_acc[:m]
+        imu[:m, 4:7] = pkt.imu_gyr[:m]
+        return imu, m
 
     def process_packet(self, pkt: ScanPacket):
         t0 = time.perf_counter()
@@ -398,38 +440,40 @@ class Pipeline:
             self.last_lidar_end_time = pkt.lidar_end_time
             return
 
-        pts, ptt, pt_mask = self._pad_scan(pkt)
-        imu_t, imu_acc, imu_gyr, imu_mask = self._pad_imu(pkt)
+        scan, n_pts = self._pad_scan(pkt)
+        imu, n_imu = self._pad_imu(pkt)
         last_end_rel = self.last_lidar_end_time - pkt.lidar_beg_time
         pcl_end_rel = pkt.lidar_end_time - pkt.lidar_beg_time
-
         ekf_inited = (
             pkt.lidar_beg_time - self.first_lidar_time
         ) >= cfg.init_time
+        do_update = self.map_built
+        scalars = np.array(
+            [self.acc_scale, last_end_rel, pcl_end_rel, n_pts, n_imu,
+             1.0 if ekf_inited else 0.0, 1.0 if do_update else 0.0],
+            np.float32,
+        )
 
         # NO host<->device syncs below: the step is dispatched asynchronously
         # and every readback (trajectory pose, diagnostics, world cloud) is a
         # lazy device-array handle materialized on demand.
-        do_update = self.map_built
-        (self.x, self.P, self.map, self.imu_carry, self.lm_state, pw, pwm, d
+        (self.x, self.P, self.map, self.imu_carry, self.lm_state, clouds, d
          ) = self._step_fn(
             self.x, self.P, self.map, self.imu_carry, self.Q,
-            jnp.asarray(imu_t), jnp.asarray(imu_acc), jnp.asarray(imu_gyr),
-            jnp.asarray(imu_mask), jnp.asarray(self.acc_scale, self.dtype),
-            jnp.asarray(last_end_rel, self.dtype),
-            jnp.asarray(pcl_end_rel, self.dtype),
-            jnp.asarray(pts), jnp.asarray(ptt), jnp.asarray(pt_mask),
+            jnp.asarray(scan), jnp.asarray(imu), jnp.asarray(scalars),
             *self.lm_state,
-            jnp.asarray(ekf_inited),
-            jnp.asarray(do_update),
         )
         if not self.map_built:
             # one-time sync during startup: did the first scan seed the map?
             self.map_built = int(d["n_down"]) > 5
 
         self.last_lidar_end_time = pkt.lidar_end_time
-        self.last_pts_world = pw  # device handles; np.asarray() to fetch
-        self.last_pts_world_mask = pwm
+        # device handles; np.asarray() to fetch (publisher surface:
+        # /cloud_registered and /cloud_registered_body analogs)
+        self.last_pts_world = clouds["world"]
+        self.last_pts_world_mask = clouds["world_mask"]
+        self.last_pts_body = clouds["body"]
+        self.last_pts_body_mask = clouds["body_mask"]
 
         diag.n_effective = d["n_eff"]
         diag.iterations = d["iters"]

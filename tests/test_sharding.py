@@ -88,10 +88,10 @@ def test_sharded_step_matches_single_device():
 
     # single device
     m_s = hm.make_map(map_cfg, DT)
-    xs, Ps, m_s, cs, lms_s, pw_s, pm_s, d_s = jax.jit(
+    xs, Ps, m_s, cs, lms_s, cl_s, d_s = jax.jit(
         lambda *a: lio_step(cfg, map_cfg, *a, do_update=False)
     )(x0, P0, m_s, carry0, Q, *ins1)
-    xs, Ps, m_s, cs, lms_s, pw_s, pm_s, d_s = jax.jit(
+    xs, Ps, m_s, cs, lms_s, cl_s, d_s = jax.jit(
         lambda *a: lio_step(cfg, map_cfg, *a, do_update=True)
     )(xs, Ps, m_s, cs, Q, *ins2)
 
@@ -108,8 +108,9 @@ def test_sharded_step_matches_single_device():
     carry_spec = imu_mod.ImuCarry(rep, rep)
     in_specs = (x_spec, rep, map_specs, carry_spec, rep) + (rep,) * 14
     diag_spec = dict(n_down=rep, n_eff=rep, iters=rep, map_size=rep)
-    out_specs = (x_spec, rep, map_specs, carry_spec, (rep, rep, rep), rep,
-                 rep, diag_spec)
+    clouds_spec = dict(world=rep, world_mask=rep, body=rep, body_mask=rep)
+    out_specs = (x_spec, rep, map_specs, carry_spec, (rep, rep, rep),
+                 clouds_spec, diag_spec)
 
     def wrap(do_update):
         return jax.jit(
@@ -121,7 +122,7 @@ def test_sharded_step_matches_single_device():
             )
         )
 
-    xm, Pm, m_m, cm, lms_m, pw_m, pm_m, d_m = wrap(False)(
+    xm, Pm, m_m, cm, lms_m, cl_m, d_m = wrap(False)(
         x0, P0, m_m, carry0, Q, *ins1
     )
 
@@ -161,7 +162,7 @@ def test_sharded_step_matches_single_device():
 
     # --- update round: psum reassociation may flip a convergence-gated
     # iteration, so single and sharded agree to the filter's own tolerance ---
-    xm, Pm, m_m, cm, lms_m, pw_m, pm_m, d_m = wrap(True)(
+    xm, Pm, m_m, cm, lms_m, cl_m, d_m = wrap(True)(
         xm, Pm, m_m, cm, Q, *ins2
     )
     size_s, size_m = int(d_s["map_size"]), int(d_m["map_size"])
