@@ -165,10 +165,11 @@ def main(argv=None):
             )
         slog.close()
 
-    if args.pcd_save and pipe.last_pts_world is not None:
-        pts = np.asarray(pipe.last_pts_world)
-        msk = np.asarray(pipe.last_pts_world_mask)
-        ckpt.save_pcd(out / "scans.pcd", pts[msk])
+    if args.pcd_save:
+        # the accumulated world map (scans.pcd analog, laserMapping.cpp:1024-1031)
+        from .map.hash_map import flatten
+
+        ckpt.save_pcd(out / "scans.pcd", flatten(pipe.map))
 
     if args.checkpoint:
         ckpt.save(out / "checkpoint.npz", pipe.x, pipe.P, pipe.map,

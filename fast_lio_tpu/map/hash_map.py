@@ -80,6 +80,17 @@ def map_size(m: Map) -> jnp.ndarray:
     return jnp.sum(m.valid.astype(jnp.int32))
 
 
+def flatten(m: Map):
+    """All live map points as a host array (n, 3) — the ikd-Tree
+    ``flatten``/PCL_Storage analog used for /Laser_map publishing and map
+    export (laserMapping.cpp:944-947)."""
+    import numpy as np
+
+    pts = np.asarray(m.pts.reshape(-1, 3))
+    valid = np.asarray(m.valid.reshape(-1))
+    return pts[valid]
+
+
 # --------------------------------------------------------------------------
 # hashing
 # --------------------------------------------------------------------------
@@ -281,7 +292,6 @@ def insert(
     is_ds = jnp.logical_and(live, downsample)
     # replace iff new point is nearer the voxel center than the incumbent
     do_replace = jnp.logical_and(jnp.logical_and(is_ds, has_same), d_mid < existing_d)
-    ds_dropped = jnp.logical_and(jnp.logical_and(is_ds, has_same), d_mid >= existing_d)
     # append candidates: live points with no same-voxel incumbent (ds) or all
     # no-downsample points
     do_append = jnp.logical_and(live, jnp.logical_not(jnp.logical_and(is_ds, has_same)))

@@ -40,11 +40,17 @@ ROBUST_S_GATE = 0.9  # acceptance on s (laserMapping.cpp:683)
 class NeighborCache(NamedTuple):
     """Per-point association state persisted across filter iterations
     (the reference's Nearest_Points / point_selected_surf,
-    laserMapping.cpp:101,94)."""
+    laserMapping.cpp:101,94).  The fitted planes are cached too: a plane
+    depends only on the map neighbors, so refitting on non-research
+    iterations (as the reference's per-point CPU loop does) is redundant —
+    identical results, one batched fit per search instead of per iteration.
+    """
 
     nbrs: jnp.ndarray  # (N, K, 3)
     found: jnp.ndarray  # (N, K)
     selected: jnp.ndarray  # (N,)
+    pabcd: jnp.ndarray  # (N, 4) cached plane fits
+    plane_ok: jnp.ndarray  # (N,)
 
 
 def empty_cache(n: int, dtype=jnp.float32) -> NeighborCache:
@@ -52,6 +58,8 @@ def empty_cache(n: int, dtype=jnp.float32) -> NeighborCache:
         nbrs=jnp.zeros((n, NUM_MATCH, 3), dtype=dtype),
         found=jnp.zeros((n, NUM_MATCH), dtype=bool),
         selected=jnp.zeros(n, dtype=bool),
+        pabcd=jnp.zeros((n, 4), dtype=dtype),
+        plane_ok=jnp.zeros(n, dtype=bool),
     )
 
 
@@ -89,11 +97,14 @@ def compute_measurement(
         all_found = jnp.all(found, axis=-1)
         close = sq[:, NUM_MATCH - 1] <= MAX_NN_SQ_DIST
         selected = jnp.logical_and(jnp.logical_and(all_found, close), mask)
-        return NeighborCache(nbrs.astype(dtype), found, selected)
+        pabcd, plane_ok = fit_plane(nbrs, found, PLANE_THRESHOLD)
+        return NeighborCache(
+            nbrs.astype(dtype), found, selected, pabcd.astype(dtype), plane_ok
+        )
 
     cache = jax.lax.cond(converge, research, lambda _: cache, operand=None)
 
-    pabcd, plane_ok = fit_plane(cache.nbrs, cache.found, PLANE_THRESHOLD)
+    pabcd, plane_ok = cache.pabcd, cache.plane_ok
     pd2 = jnp.sum(pabcd[:, :3] * p_world, axis=-1) + pabcd[:, 3]
     body_norm = jnp.linalg.norm(pts_body, axis=-1)
     s = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(jnp.maximum(body_norm, 1e-9))

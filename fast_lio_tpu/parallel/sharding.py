@@ -193,11 +193,14 @@ def sharded_lio_step(
     return (x, P_, m_local, imu_carry, (lm_lo, lm_hi, lm_init), clouds, diag)
 
 
-def make_sharded_step(cfg: Config, map_cfg: hm.MapConfig, mesh: Mesh):
-    """shard_map-wrapped full step.  Map arrays sharded on the bucket dim;
-    all other inputs/outputs replicated."""
+def wrap_sharded_step(cfg: Config, map_cfg: hm.MapConfig, mesh: Mesh,
+                      do_update: bool = True):
+    """shard_map-wrapped full step (unjitted).  Map arrays sharded on the
+    bucket dim; all other inputs/outputs replicated.  ``do_update`` is bound
+    statically: the psum inside the update cannot sit under a lax.cond, and
+    an empty map no-ops the update anyway (zero effective points)."""
     n = mesh.devices.size
-    body = partial(sharded_lio_step, cfg, map_cfg, n)
+    body = partial(sharded_lio_step, cfg, map_cfg, n, do_update=do_update)
 
     map_specs = hm.Map(pts=P(AXIS), valid=P(AXIS), dropped=P(AXIS))
     rep = P()
@@ -215,11 +218,15 @@ def make_sharded_step(cfg: Config, map_cfg: hm.MapConfig, mesh: Mesh):
     out_specs = (x_spec, rep, map_specs, carry_spec, (rep, rep, rep),
                  clouds_spec, diag_spec)
 
-    inner = jax.shard_map(
+    return jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(inner, donate_argnums=(2,), static_argnames=())
+
+
+def make_sharded_step(cfg: Config, map_cfg: hm.MapConfig, mesh: Mesh):
+    """Jitted sharded step (see wrap_sharded_step)."""
+    return jax.jit(wrap_sharded_step(cfg, map_cfg, mesh), donate_argnums=(2,))
 
 
 # ---------------------------------------------------------------------------

@@ -65,15 +65,26 @@ class SyncBuffer:
         self.last_timestamp_lidar = -np.inf
         self.last_timestamp_imu = -np.inf
         self.last_imu: Optional[Tuple[float, np.ndarray, np.ndarray]] = None
+        # soft time sync (laserMapping.cpp:300-324,343-347)
+        self.timediff_lidar_wrt_imu = 0.0
+        self.timediff_set = False
 
     def push_lidar(self, stamp: float, pts: np.ndarray, pt_time: np.ndarray):
         if stamp < self.last_timestamp_lidar:  # loop-back clear (:284-288)
             self.lidar_buf.clear()
         self.last_timestamp_lidar = stamp
+        if (self.cfg.time_sync_en and not self.timediff_set
+                and abs(stamp - self.last_timestamp_imu) > 1
+                and np.isfinite(self.last_timestamp_imu) and self.imu_t):
+            # one-shot clock-offset estimate (laserMapping.cpp:319-324)
+            self.timediff_set = True
+            self.timediff_lidar_wrt_imu = stamp + 0.1 - self.last_timestamp_imu
         self.lidar_buf.append((stamp, pts, pt_time))
 
     def push_imu(self, t: float, acc: np.ndarray, gyr: np.ndarray):
         t = t - self.cfg.time_offset_lidar_to_imu
+        if abs(self.timediff_lidar_wrt_imu) > 0.1 and self.cfg.time_sync_en:
+            t = t + self.timediff_lidar_wrt_imu  # (laserMapping.cpp:343-347)
         if t < self.last_timestamp_imu:  # loop-back clear (:353-357)
             self.imu_t.clear()
             self.imu_acc.clear()
@@ -281,10 +292,17 @@ def lio_step(
 
 
 class Pipeline:
-    """End-to-end odometry: feed packets, read poses."""
+    """End-to-end odometry: feed packets, read poses.
 
-    def __init__(self, cfg: Config):
+    Pass ``mesh`` (a 1-D jax.sharding.Mesh) to run with the map spatially
+    sharded across devices — same API, same packets; the per-scan step runs
+    under shard_map with merged kNN and psum'd Gauss-Newton reductions
+    (fast_lio_tpu.parallel.sharding).
+    """
+
+    def __init__(self, cfg: Config, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.dtype = jnp.dtype(cfg.compute_dtype)
         self.map_cfg = hm.make_config(
             voxel_size=cfg.filter_size_map,
@@ -299,7 +317,12 @@ class Pipeline:
         self.Q = process.process_noise_cov(
             cfg.gyr_cov, cfg.acc_cov, cfg.b_gyr_cov, cfg.b_acc_cov, self.dtype
         )
-        self.map = hm.make_map(self.map_cfg, self.dtype)
+        if mesh is None:
+            self.map = hm.make_map(self.map_cfg, self.dtype)
+        else:
+            from .parallel import sharding as shd
+
+            self.map = shd.make_sharded_map(self.map_cfg, mesh, self.dtype)
         self.imu_carry = imu_mod.init_imu_carry(self.dtype)
 
         # local-map cube state lives on device (no per-scan host sync)
@@ -333,10 +356,23 @@ class Pipeline:
     def _build_step(self):
         cfg, map_cfg = self.cfg, self.map_cfg
 
+        if self.mesh is None:
+            inner = partial(lio_step, cfg, map_cfg)
+        else:
+            from .parallel import sharding as shd
+
+            n = self.mesh.devices.size
+            # the sharded step runs the update unconditionally (its psum
+            # cannot sit inside lax.cond); an empty map naturally yields
+            # zero effective points and the update no-ops via `valid`
+            inner = shd.wrap_sharded_step(cfg, map_cfg, self.mesh)
+
         # Packed calling convention: the tunnel backend charges ~0.4 ms per
         # host->device dispatch, so the per-scan inputs travel as THREE
         # arrays — scan (N,4: xyz+t), imu (M,7: t+acc+gyr), scalars (7,) —
         # and the masks are rebuilt on device from the counts.
+        sharded = self.mesh is not None
+
         def packed(x, P, m, imu_carry, Q, scan, imu, scalars, lm_lo, lm_hi,
                    lm_init):
             N = scan.shape[0]
@@ -346,14 +382,17 @@ class Pipeline:
             pt_mask = jnp.arange(N) < n_pts
             imu_mask = jnp.arange(M) < n_imu
             imu_t = jnp.where(imu_mask, imu[:, 0], 1e9)
-            return lio_step(
-                cfg, map_cfg, x, P, m, imu_carry, Q,
+            args = (
+                x, P, m, imu_carry, Q,
                 imu_t, imu[:, 1:4], imu[:, 4:7], imu_mask,
                 scalars[0], scalars[1], scalars[2],
                 scan[:, :3], scan[:, 3], pt_mask,
                 lm_lo, lm_hi, lm_init,
-                scalars[5] > 0.5, scalars[6] > 0.5,
+                scalars[5] > 0.5,
             )
+            if sharded:
+                return inner(*args)
+            return inner(*args, scalars[6] > 0.5)
 
         return jax.jit(packed, donate_argnums=(2,))
 
