@@ -37,6 +37,9 @@ def main():
         map_h_log2=15,
         det_range=40.0,
         cube_side_length=300.0,
+        # NOTE: rescore_research stays off here — it saves ~2 ms/scan but its
+        # larger program can blow the remote-compile budget on this backend
+        # (see PERF.md); accuracy parity is covered by tests/test_rescore.py.
     )
     duration = 10.0
     data = simlib.generate(

@@ -43,6 +43,10 @@ def build_parser():
     p.add_argument("--resume", help="checkpoint.npz to resume from")
     p.add_argument("--platform", default=None, help="jax platform override")
     p.add_argument("--runtime-pos-log", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace into <out>/trace")
+    p.add_argument("--health", action="store_true",
+                   help="print an estimator health report at the end")
     # the reference's most-used parameter overrides
     p.add_argument("--filter-size-surf", type=float)
     p.add_argument("--filter-size-map", type=float)
@@ -101,6 +105,9 @@ def main(argv=None):
         pipe.acc_scale = float(meta.get("acc_scale", 1.0))
         print(f"resumed from {args.resume}")
 
+    if args.profile:
+        jax.profiler.start_trace(str(out / "trace"))
+
     t0 = time.perf_counter()
     if args.sim:
         from . import sim as simlib
@@ -133,6 +140,10 @@ def main(argv=None):
         print("nothing to do: pass --bag or --sim", file=sys.stderr)
         return 1
     wall = time.perf_counter() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
+    if args.health:
+        print(json.dumps({"health": pipe.health_check()}))
 
     # ---- outputs ----
     traj = pipe.get_trajectory()

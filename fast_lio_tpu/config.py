@@ -78,6 +78,10 @@ class Config:
     runtime_pos_log: bool = False
 
     # --- TPU runtime ---
+    rescore_research: bool = False  # converged-iteration re-searches re-rank
+    # the scan's cached candidate block instead of re-gathering the map:
+    # ~exact (pose moves mm between iterates) and saves 1-2 gathers/scan.
+    # Off by default for reference-faithful association.
     n_points_max: int = 32768  # raw scan pad (post-decimation)
     n_ds_max: int = 8192  # downsampled block pad (the filter's N)
     n_imu_max: int = 64  # IMU samples per scan pad

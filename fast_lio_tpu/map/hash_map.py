@@ -134,9 +134,30 @@ _NEIGHBOR_OFFSETS = jnp.array(
 )  # (27, 3)
 
 
+def rescore_candidates(
+    cand_pts: jnp.ndarray,  # (N, C, 3) cached gathered candidates
+    cand_ok: jnp.ndarray,  # (N, C)
+    queries: jnp.ndarray,  # (N, 3)
+    k: int = NUM_MATCH_POINTS,
+):
+    """Re-rank cached candidates at new query positions (no map gather).
+
+    Used by converged-iteration re-searches when Config.rescore_research is
+    on: the pose moves millimeters between Gauss-Newton iterates, so the
+    candidate REGION from the scan's first search still covers the true kNN.
+    """
+    d2 = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand_ok, d2, jnp.inf)
+    neg_top, idx = jax.lax.top_k(-d2, k)
+    sq = -neg_top
+    nbrs = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
+    return nbrs, sq, jnp.isfinite(sq)
+
+
 def knn_search(
-    m: Map, cfg: MapConfig, queries: jnp.ndarray, k: int = NUM_MATCH_POINTS
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    m: Map, cfg: MapConfig, queries: jnp.ndarray, k: int = NUM_MATCH_POINTS,
+    return_candidates: bool = False,
+):
     """k nearest map points per query.
 
     queries: (N, 3).  Returns (neighbors (N, k, 3), sq_dists (N, k) — +inf for
@@ -183,6 +204,8 @@ def knn_search(
     sq = -neg_top
     nbrs = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
     found = jnp.isfinite(sq)
+    if return_candidates:
+        return nbrs, sq, found, cand_pts, jnp.isfinite(d2)
     return nbrs, sq, found
 
 

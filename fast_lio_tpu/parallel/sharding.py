@@ -189,7 +189,7 @@ def sharded_lio_step(
         map_size=jax.lax.psum(hm.map_size(m_local), AXIS),
     )
     clouds = dict(world=pts_world, world_mask=ds_mask, body=pts_d,
-                  body_mask=pt_mask)
+                  body_mask=pt_mask, effect_mask=cache.selected)
     return (x, P_, m_local, imu_carry, (lm_lo, lm_hi, lm_init), clouds, diag)
 
 
@@ -214,7 +214,8 @@ def wrap_sharded_step(cfg: Config, map_cfg: hm.MapConfig, mesh: Mesh,
         rep, rep, rep, rep,  # lm_lo, lm_hi, lm_init, ekf_inited
     )
     diag_spec = dict(n_down=rep, n_eff=rep, iters=rep, map_size=rep)
-    clouds_spec = dict(world=rep, world_mask=rep, body=rep, body_mask=rep)
+    clouds_spec = dict(world=rep, world_mask=rep, body=rep, body_mask=rep,
+                       effect_mask=rep)
     out_specs = (x_spec, rep, map_specs, carry_spec, (rep, rep, rep),
                  clouds_spec, diag_spec)
 

@@ -244,13 +244,17 @@ def lio_step(
     )
 
     # 4. iterated point-to-plane update (hot loops #2-#4)
-    cache0 = meas.empty_cache(cfg.n_ds_max, pts_ds.dtype)
-    knn_fn = partial(hm.knn_search, m, map_cfg)
+    n_cand = 27 * map_cfg.bucket_slots if cfg.rescore_research else 0
+    cache0 = meas.empty_cache(cfg.n_ds_max, pts_ds.dtype, n_cand)
+    knn_fn = partial(
+        hm.knn_search, m, map_cfg,
+        return_candidates=cfg.rescore_research,
+    )
 
     def h_fn(x_i, converge, cache):
         h_x, h, sel, cache, valid, _pw = meas.compute_measurement(
             x_i, pts_ds, ds_mask, knn_fn, cache, converge,
-            cfg.extrinsic_est_en,
+            cfg.extrinsic_est_en, rescore=cfg.rescore_research,
         )
         return ekf.MeasOut(h_x, h, sel, valid, cache)
 
@@ -287,6 +291,7 @@ def lio_step(
     clouds = dict(
         world=pts_world, world_mask=ds_mask,  # /cloud_registered (downsampled)
         body=pts_d, body_mask=pt_mask,  # /cloud_registered_body (dense)
+        effect_mask=cache.selected,  # /cloud_effected (world[effect_mask])
     )
     return x, P, m, imu_carry, (lm_lo, lm_hi, lm_init), clouds, diag
 
@@ -407,6 +412,30 @@ class Pipeline:
              np.asarray(jax.device_get(q), np.float64))
             for t, p, q in self.trajectory
         ]
+
+    def health_check(self) -> dict:
+        """On-demand estimator health report (syncs the device).
+
+        The reference's failure handling is a handful of inline guards
+        (SURVEY.md §5); a production service wants an inspectable surface:
+        NaN state, covariance conditioning, map pressure (overflow drops).
+        """
+        x = jax.device_get(self.x)
+        P = np.asarray(jax.device_get(self.P))
+        nan_state = any(
+            bool(np.isnan(np.asarray(v)).any()) for v in x
+        ) or bool(np.isnan(P).any())
+        eig = np.linalg.eigvalsh(0.5 * (P + P.T)) if not nan_state else None
+        return {
+            "nan": nan_state,
+            "p_min_eig": float(eig.min()) if eig is not None else float("nan"),
+            "p_max_eig": float(eig.max()) if eig is not None else float("nan"),
+            "map_size": int(jax.device_get(hm.map_size(self.map))),
+            "map_dropped": int(np.asarray(jax.device_get(self.map.dropped)).sum()),
+            "scans": len(self.trajectory),
+            "imu_initialized": not self.imu_need_init,
+            "map_built": self.map_built,
+        }
 
     def pose_covariance(self) -> np.ndarray:
         """6x6 pose covariance, rotation block first — the reference's

@@ -108,7 +108,8 @@ def test_sharded_step_matches_single_device():
     carry_spec = imu_mod.ImuCarry(rep, rep)
     in_specs = (x_spec, rep, map_specs, carry_spec, rep) + (rep,) * 14
     diag_spec = dict(n_down=rep, n_eff=rep, iters=rep, map_size=rep)
-    clouds_spec = dict(world=rep, world_mask=rep, body=rep, body_mask=rep)
+    clouds_spec = dict(world=rep, world_mask=rep, body=rep, body_mask=rep,
+                       effect_mask=rep)
     out_specs = (x_spec, rep, map_specs, carry_spec, (rep, rep, rep),
                  clouds_spec, diag_spec)
 

@@ -1,0 +1,54 @@
+"""Device voxel-grid downsample vs a numpy reference (PCL centroid semantics)."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from fast_lio_tpu.ops.voxel_grid import voxel_downsample
+
+RNG = np.random.default_rng(61)
+
+
+def numpy_voxel_grid(pts, leaf):
+    cells = np.floor(pts / leaf).astype(np.int64)
+    out = {}
+    for p, c in zip(pts, map(tuple, cells)):
+        out.setdefault(c, []).append(p)
+    return {c: np.mean(v, axis=0) for c, v in out.items()}
+
+
+def test_centroids_match_numpy():
+    pts = RNG.uniform(-4, 4, (500, 3))
+    cents, mask = voxel_downsample(
+        jnp.asarray(pts), jnp.ones(500, bool), 0.5, 512
+    )
+    got = np.asarray(cents)[np.asarray(mask)]
+    ref = numpy_voxel_grid(pts, 0.5)
+    assert len(got) == len(ref)
+    for g in got:
+        c = tuple(np.floor(g / 0.5).astype(np.int64))
+        assert c in ref
+        np.testing.assert_allclose(g, ref[c], atol=1e-6)
+
+
+def test_mask_respected_and_padding():
+    pts = RNG.uniform(-4, 4, (256, 3))
+    mask = np.arange(256) < 100
+    cents, out_mask = voxel_downsample(jnp.asarray(pts), jnp.asarray(mask), 0.5, 300)
+    ref = numpy_voxel_grid(pts[:100], 0.5)
+    assert int(out_mask.sum()) == len(ref)
+
+
+def test_overflow_drops_extra_voxels():
+    # 200 points in 200 distinct voxels but only 64 output slots
+    pts = np.arange(200)[:, None] * np.array([[1.0, 0, 0]])
+    cents, mask = voxel_downsample(jnp.asarray(pts), jnp.ones(200, bool), 0.5, 64)
+    assert int(mask.sum()) == 64
+
+
+def test_single_voxel():
+    pts = RNG.uniform(0.1, 0.4, (50, 3))  # all in voxel (0,0,0) at leaf 0.5
+    cents, mask = voxel_downsample(jnp.asarray(pts), jnp.ones(50, bool), 0.5, 16)
+    assert int(mask.sum()) == 1
+    np.testing.assert_allclose(
+        np.asarray(cents)[np.asarray(mask)][0], pts.mean(axis=0), atol=1e-6
+    )
