@@ -64,6 +64,41 @@ def test_topic_filter(tmp_path):
     assert all(m[0] == "/livox/imu" for m in msgs)
 
 
+def test_velodyne_bag_replay(tmp_path):
+    """Velodyne PointCloud2 path through the bag reader + decoder + pipeline."""
+    from fast_lio_tpu.config import Config, LidarType, TimeUnit
+    from fast_lio_tpu.pipeline import Pipeline
+
+    bag = tmp_path / "velo.bag"
+    w = rb.BagWriter(bag)
+    rng = np.random.default_rng(7)
+    for k in range(3):
+        t0 = 5.0 + 0.1 * k
+        for i in range(11):
+            t = t0 + i * 0.01
+            w.write("/imu/data", "sensor_msgs/Imu", t,
+                    rb.serialize_imu(t, [0, 0, 9.81], [0, 0, 0]))
+        n = 400
+        xyz = rng.uniform(2, 8, (n, 3)).astype(np.float32)
+        pc = {
+            "x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2],
+            "intensity": np.ones(n, np.float32),
+            "time": np.linspace(0, 99, n).astype(np.float32),  # ms
+            "ring": (np.arange(n) % 16).astype(np.uint16),
+        }
+        w.write("/velodyne_points", "sensor_msgs/PointCloud2", t0,
+                rb.serialize_pointcloud2(t0, pc))
+    w.close()
+
+    cfg = Config(lidar_type=LidarType.VELO16, time_unit=TimeUnit.MS,
+                 blind=0.5, point_filter_num=1, n_points_max=512,
+                 n_ds_max=256, n_imu_max=16, map_h_log2=10)
+    pipe = Pipeline(cfg)
+    n = rb.replay_into_pipeline(bag, pipe, "/velodyne_points", "/imu/data")
+    assert n == 3
+    assert pipe.sync.scan_num >= 2
+
+
 def test_replay_into_pipeline_smoke(tmp_path):
     """A tiny bag drives the Pipeline through its ROS-replay entry point."""
     import jax
