@@ -84,13 +84,19 @@ def predict(
         return _predict_impl(x, P, dt, Q, acc, gyro)
 
 
-def _predict_impl(x, P, dt, Q, acc, gyro):
-    dtype = P.dtype
+def predict_matrices(x: st.State, dt, acc, gyro):
+    """(F (23,23), Fw (23,12)) of one predict step at pre-state ``x``.
+
+    The gravity dynamics rows of f are identically zero (use-ikfom.hpp:47-59),
+    so x_new.grav == x.grav exactly and both tangent frames of the S2 diagonal
+    block are evaluated at ``x.grav``.  Depending only on the pre-state makes
+    this vmappable — the batched IMU propagation (imu.propagate_and_deskew)
+    builds all per-interval F/Fw in parallel and composes them in log depth.
+    """
+    dtype = x.dtype
     f = process.f_dynamics(x, acc, gyro)
     fx = process.df_dx(x, acc, gyro)  # (24, 23)
     fw = process.df_dw(x)  # (24, 12)
-    x_before = x
-    x_new = st.oplus(x, f, dt)
 
     # Row transport DIM -> DOF.  For FAST-LIO every vect block has equal
     # error/dim indices; SO3 rows are transformed by A(-f_seg dt); the S2 rows
@@ -99,7 +105,6 @@ def _predict_impl(x, P, dt, Q, acc, gyro):
     fw_rows = fw[: st.DOF, :]
 
     F = jnp.eye(st.DOF, dtype=dtype)
-    Fw = jnp.zeros((st.DOF, st.NOISE_DOF), dtype=dtype)
 
     # vect rows pass through; SO3 rows get A(seg) with seg = -f_seg*dt
     def so3_row_transform(idx):
@@ -130,7 +135,8 @@ def _predict_impl(x, P, dt, Q, acc, gyro):
     fw_t = fw_t.at[st.IDX_GRAV : st.IDX_GRAV + 2, :].set(0.0)
 
     # Diagonal manifold corrections on F (esekfom.hpp:303-357):
-    # SO3 blocks: exp(-f_seg dt); S2 block: Nx(x_new) exp(f_seg dt) Mx(x_before).
+    # SO3 blocks: exp(-f_seg dt); S2 block: Nx(x_new) exp(f_seg dt) Mx(x_before)
+    # with x_new.grav == x.grav (see docstring).
     F = F.at[st.IDX_ROT : st.IDX_ROT + 3, st.IDX_ROT : st.IDX_ROT + 3].set(
         so3.so3_exp_matrix(-f[st.IDX_ROT : st.IDX_ROT + 3] * dt)
     )
@@ -139,14 +145,20 @@ def _predict_impl(x, P, dt, Q, acc, gyro):
     )
     seg_s2 = f[st.IDX_GRAV : st.IDX_GRAV + 3] * dt
     R_s2 = so3.so3_exp_matrix(seg_s2)
-    Nx = s2.nx_yy(x_new.grav, st.S2_LENGTH)
-    Mx = s2.mx(x_before.grav, jnp.zeros(2, dtype=dtype), st.S2_LENGTH)
+    Nx = s2.nx_yy(x.grav, st.S2_LENGTH)
+    Mx = s2.mx(x.grav, jnp.zeros(2, dtype=dtype), st.S2_LENGTH)
     F = F.at[st.IDX_GRAV : st.IDX_GRAV + 2, st.IDX_GRAV : st.IDX_GRAV + 2].set(
         Nx @ R_s2 @ Mx
     )
 
     F = F + fx_t * dt
     Fw = fw_t * dt
+    return F, Fw, f
+
+
+def _predict_impl(x, P, dt, Q, acc, gyro):
+    F, Fw, f = predict_matrices(x, dt, acc, gyro)
+    x_new = st.oplus(x, f, dt)
     P_new = F @ P @ F.T + Fw @ Q @ Fw.T
     P_new = 0.5 * (P_new + P_new.T)  # keep P symmetric under f32 roundoff
     return x_new, P_new

@@ -157,78 +157,105 @@ def propagate_and_deskew(
     dts = tail_t - jnp.maximum(head_t, rel_last_end)  # (:268-276)
     dts = jnp.where(pair_valid, jnp.maximum(dts, 0.0), 0.0)
 
-    class ScanCarry(NamedTuple):
-        x: st.State
-        P: jnp.ndarray
-        angvel: jnp.ndarray
-        acc_world: jnp.ndarray
-        last_in_acc: jnp.ndarray
-        last_in_gyr: jnp.ndarray
+    # ---- forward propagation, batched (no sequential scan) ----------------
+    # Each predict is forward-Euler at the pre-state (st.oplus), so the whole
+    # chain is computable in parallel: the quaternion chain is an associative
+    # product, vel/pos are cumulative sums once the per-interval rotations are
+    # known, and P's recursion P <- F P F^T + Fw Q Fw^T composes associatively
+    # as (F2, Q2) ∘ (F1, Q1) = (F2 F1, F2 Q1 F2^T + Q2).  Invalid pairs have
+    # dt == 0 and are forced to exact identity elements, so padding slots are
+    # no-ops (the reference walks IMU samples one by one,
+    # IMU_Processing.hpp:243-296 — same math, log depth instead of M).
+    Mp = M - 1
+    with jax.default_matmul_precision("highest"):
+        omega = angvel_avr - x.bg  # (Mp, 3)
+        a_body = acc_avr - x.ba  # (Mp, 3)
+        dq = so3.so3_exp(omega * dts[:, None])  # identity where dt == 0
+        q_incl = jax.lax.associative_scan(so3.quat_multiply, dq)
+        q_after = so3.quat_multiply(x.rot[None, :], q_incl)  # (Mp, 4)
+        q_before = jnp.concatenate([x.rot[None, :], q_after[:-1]], axis=0)
 
-    def step(c: ScanCarry, inp):
-        dt, acc_a, gyr_a, valid, toff = inp
-        x_new, P_new = ekf.predict(c.x, c.P, dt, Q, acc_a, gyr_a)
-        x_sel = jax.tree.map(lambda a, b: jnp.where(valid, a, b), x_new, c.x)
-        P_sel = jnp.where(valid, P_new, c.P)
-        angvel = jnp.where(valid, gyr_a - x_sel.bg, c.angvel)
-        acc_w = jnp.where(
-            valid,
-            so3.quat_rotate(x_sel.rot, acc_a - x_sel.ba) + x_sel.grav,
-            c.acc_world,
+        a_w_int = so3.quat_rotate(q_before, a_body) + x.grav  # pre-state f_vel
+        vel_after = x.vel + jnp.cumsum(a_w_int * dts[:, None], axis=0)
+        vel_before = jnp.concatenate([x.vel[None, :], vel_after[:-1]], axis=0)
+        pos_after = x.pos + jnp.cumsum(vel_before * dts[:, None], axis=0)
+        pos_before = jnp.concatenate([x.pos[None, :], pos_after[:-1]], axis=0)
+
+        def bcast(v):
+            return jnp.broadcast_to(v, (Mp,) + v.shape)
+
+        x_pre = st.State(
+            pos=pos_before, rot=q_before,
+            offset_R_L_I=bcast(x.offset_R_L_I),
+            offset_T_L_I=bcast(x.offset_T_L_I),
+            vel=vel_before, bg=bcast(x.bg), ba=bcast(x.ba),
+            grav=bcast(x.grav),
         )
-        new_c = ScanCarry(
-            x=x_sel,
-            P=P_sel,
-            angvel=angvel,
-            acc_world=acc_w,
-            last_in_acc=jnp.where(valid, acc_a, c.last_in_acc),
-            last_in_gyr=jnp.where(valid, gyr_a, c.last_in_gyr),
+        F, Fw, _f = jax.vmap(ekf.predict_matrices)(
+            x_pre, dts, acc_avr, angvel_avr
         )
-        knot = dict(
-            offset=toff,
-            rot=x_sel.rot,
-            pos=x_sel.pos,
-            vel=x_sel.vel,
-            gyr=angvel,
-            acc=acc_w,
+        G = jnp.einsum("mij,jk,mlk->mil", Fw, Q.astype(dtype), Fw)
+        eyeD = jnp.eye(st.DOF, dtype=dtype)
+        F = jnp.where(pair_valid[:, None, None], F, eyeD)
+        G = jnp.where(pair_valid[:, None, None], G, jnp.zeros_like(G))
+
+        def compose(a, b):  # a precedes b
+            Fa, Ga = a
+            Fb, Gb = b
+            FbT = jnp.swapaxes(Fb, -1, -2)
+            return Fb @ Fa, Fb @ Ga @ FbT + Gb
+
+        F_tot, G_tot = jax.tree.map(
+            lambda arr: arr[-1], jax.lax.associative_scan(compose, (F, G))
         )
-        return new_c, knot
+        P_prop = F_tot @ P @ F_tot.T + G_tot
+        P_prop = 0.5 * (P_prop + P_prop.T)
+
+    # forward-fill knot gyr/acc over invalid pairs (the reference's
+    # angvel_last / acc_s_last carry, IMU_Processing.hpp:290-295)
+    steps = jnp.arange(Mp)
+    last_valid = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(pair_valid, steps, -1)
+    )
+
+    def ffill(vals, init):
+        picked = vals[jnp.clip(last_valid, 0, Mp - 1)]
+        return jnp.where((last_valid >= 0)[:, None], picked, init[None, :])
+
+    knot_gyr_v = ffill(omega, carry.angvel_last.astype(dtype))
+    a_w_knot = so3.quat_rotate(q_after, a_body) + x.grav  # post-state frame
+    knot_acc_v = ffill(a_w_knot, carry.acc_s_last.astype(dtype))
+    last_in = ffill(
+        jnp.concatenate([acc_avr, angvel_avr], axis=-1),
+        jnp.zeros(6, dtype=dtype),
+    )[-1]
 
     # knot offset times: valid -> tail offset; stale-prefix -> 0;
     # padding tail -> +inf so searchsorted never selects them as head.
     knot_offsets = jnp.where(
         pair_valid, tail_t, jnp.where(pair_tail_mask, 0.0, _FAR_FUTURE)
     )
-    c0 = ScanCarry(
-        x=x,
-        P=P,
-        angvel=carry.angvel_last.astype(dtype),
-        acc_world=carry.acc_s_last.astype(dtype),
-        last_in_acc=jnp.zeros(3, dtype=dtype),
-        last_in_gyr=jnp.zeros(3, dtype=dtype),
-    )
-    cN, knots = jax.lax.scan(
-        step, c0, (dts, acc_avr, angvel_avr, pair_valid, knot_offsets)
-    )
 
     # prepend the scan-begin knot (IMU_Processing.hpp:241)
     def prepend(k0, arr):
         return jnp.concatenate([k0[None], arr], axis=0)
 
-    knot_t = prepend(jnp.asarray(0.0, dtype), knots["offset"])  # (M,)
-    knot_rot = prepend(x.rot, knots["rot"])
-    knot_pos = prepend(x.pos, knots["pos"])
-    knot_vel = prepend(x.vel, knots["vel"])
-    knot_gyr = prepend(carry.angvel_last.astype(dtype), knots["gyr"])
-    knot_acc = prepend(carry.acc_s_last.astype(dtype), knots["acc"])
+    knot_t = prepend(jnp.asarray(0.0, dtype), knot_offsets)  # (M,)
+    knot_rot = prepend(x.rot, q_after)
+    knot_pos = prepend(x.pos, pos_after)
+    knot_vel = prepend(x.vel, vel_after)
+    knot_gyr = prepend(carry.angvel_last.astype(dtype), knot_gyr_v)
+    knot_acc = prepend(carry.acc_s_last.astype(dtype), knot_acc_v)
+
+    x_prop = x._replace(pos=pos_after[-1], rot=q_after[-1], vel=vel_after[-1])
 
     # final fractional predict to scan end (IMU_Processing.hpp:298-301)
     imu_end_rel = jnp.max(jnp.where(imu_mask, rel_t, -jnp.inf))
     dt_final = rel_pcl_end - imu_end_rel
-    x_end, P_end = ekf.predict(x=cN.x, P=cN.P, dt=dt_final, Q=Q,
-                               acc=cN.last_in_acc, gyro=cN.last_in_gyr)
+    x_end, P_end = ekf.predict(x=x_prop, P=P_prop, dt=dt_final, Q=Q,
+                               acc=last_in[:3], gyro=last_in[3:])
 
-    new_carry = ImuCarry(angvel_last=cN.angvel, acc_s_last=cN.acc_world)
+    new_carry = ImuCarry(angvel_last=knot_gyr_v[-1], acc_s_last=knot_acc_v[-1])
 
     if not deskew:  # MARSIM bypass (IMU_Processing.hpp:310)
         return x_end, P_end, pts, new_carry
