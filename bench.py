@@ -34,7 +34,7 @@ def main():
         n_points_max=8192,
         n_ds_max=4096,
         n_imu_max=32,
-        map_h_log2=15,
+        map_h_log2=13,  # x 64 slots = same 524k capacity as the old 15 x 16
         det_range=40.0,
         cube_side_length=300.0,
         # NOTE: rescore_research stays off here — it saves ~2 ms/scan but its

@@ -85,9 +85,9 @@ class Config:
     n_points_max: int = 32768  # raw scan pad (post-decimation)
     n_ds_max: int = 8192  # downsampled block pad (the filter's N)
     n_imu_max: int = 64  # IMU samples per scan pad
-    map_h_log2: int = 17  # 131072 buckets
-    map_bucket_slots: int = 16  # capacity ~2.1M points
-    map_cell_size: float = 1.0
+    map_h_log2: int = 15  # 32768 buckets
+    map_bucket_slots: int = 64  # capacity ~2.1M points; one 4x4x4-voxel cell
+    # worth of slots per bucket (see map.hash_map.make_config)
     compute_dtype: str = "float32"
 
     @property

@@ -244,7 +244,7 @@ def lio_step(
     )
 
     # 4. iterated point-to-plane update (hot loops #2-#4)
-    n_cand = 27 * map_cfg.bucket_slots if cfg.rescore_research else 0
+    n_cand = map_cfg.knn_candidates if cfg.rescore_research else 0
     cache0 = meas.empty_cache(cfg.n_ds_max, pts_ds.dtype, n_cand)
     knn_fn = partial(
         hm.knn_search, m, map_cfg,

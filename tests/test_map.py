@@ -25,8 +25,9 @@ def brute_knn(points, queries, k):
 
 
 def test_knn_matches_brute_force_within_cell_radius():
-    """Inside the guaranteed coverage radius (= cell_size) the hash-grid kNN
-    must agree exactly with brute force."""
+    """Inside the guaranteed coverage radius (= cell_size/2 for the 2x2x2
+    round-to-corner region) the hash-grid kNN must agree exactly with brute
+    force."""
     pts = RNG.uniform(-8, 8, size=(2000, 3))
     m = build_map(pts)
     queries = RNG.uniform(-6, 6, size=(100, 3))
@@ -35,7 +36,7 @@ def test_knn_matches_brute_force_within_cell_radius():
     sq = np.asarray(sq)
     for i in range(len(queries)):
         for j in range(5):
-            if sq_bf[i, j] <= CFG.cell_size**2:
+            if sq_bf[i, j] <= (CFG.cell_size / 2) ** 2:
                 assert abs(sq[i, j] - sq_bf[i, j]) < 1e-9, (i, j, sq[i, j], sq_bf[i, j])
 
 

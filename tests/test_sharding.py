@@ -34,7 +34,7 @@ def make_cfg():
     map_cfg = hm.make_config(
         voxel_size=cfg.filter_size_map,
         h_log2=cfg.map_h_log2,
-        bucket_slots=32,  # roomy: a full cell holds 8 voxels' points
+        bucket_slots=64,  # roomy: a full 4x4x4-voxel cell's worth of points
     )
     return cfg, map_cfg
 
@@ -174,4 +174,6 @@ def test_sharded_step_matches_single_device():
     # epsi-sized steps; 5x epsi bounds "same fixed point" without flakiness
     dx = np.asarray(st.boxminus(xs, xm))
     np.testing.assert_allclose(dx, 0.0, atol=5 * cfg.epsi)
-    np.testing.assert_allclose(np.asarray(Ps), np.asarray(Pm), atol=0.02)
+    # P entries are O(0.13); runs differing by one gated iteration move a few
+    # entries by ~0.03
+    np.testing.assert_allclose(np.asarray(Ps), np.asarray(Pm), atol=0.05)
