@@ -373,15 +373,17 @@ class Pipeline:
             inner = shd.wrap_sharded_step(cfg, map_cfg, self.mesh)
 
         # Packed calling convention: the tunnel backend charges ~0.4 ms per
-        # host->device dispatch, so the per-scan inputs travel as THREE
-        # arrays — scan (N,4: xyz+t), imu (M,7: t+acc+gyr), scalars (7,) —
-        # and the masks are rebuilt on device from the counts.
+        # host->device dispatch, so the per-scan inputs travel as ONE flat
+        # f32 buffer — [scalars (8) | imu (M,7: t+acc+gyr) | scan (N,4:
+        # xyz+t)] — and the masks are rebuilt on device from the counts.
         sharded = self.mesh is not None
+        N = cfg.n_points_max
+        M = cfg.n_imu_max
 
-        def packed(x, P, m, imu_carry, Q, scan, imu, scalars, lm_lo, lm_hi,
-                   lm_init):
-            N = scan.shape[0]
-            M = imu.shape[0]
+        def packed(x, P, m, imu_carry, Q, buf, lm_lo, lm_hi, lm_init):
+            scalars = buf[:8]
+            imu = buf[8:8 + M * 7].reshape(M, 7)
+            scan = buf[8 + M * 7:].reshape(N, 4)
             n_pts = scalars[3].astype(jnp.int32)
             n_imu = scalars[4].astype(jnp.int32)
             pt_mask = jnp.arange(N) < n_pts
@@ -463,24 +465,24 @@ class Pipeline:
         self.process_packet(pkt)
         return True
 
-    def _pad_scan(self, pkt: ScanPacket):
-        """Packed (n_max, 4) f32: xyz + per-point offset seconds."""
-        n_max = self.cfg.n_points_max
+    def _pack_buf(self, pkt: ScanPacket, last_end_rel, pcl_end_rel,
+                  ekf_inited, do_update):
+        """One flat f32 feed buffer: [scalars(8) | imu(M,7) | scan(N,4)]."""
+        n_max, m_max = self.cfg.n_points_max, self.cfg.n_imu_max
         n = min(len(pkt.pts), n_max)
-        scan = np.zeros((n_max, 4), np.float32)
-        scan[:n, :3] = pkt.pts[:n]
-        scan[:n, 3] = pkt.pt_time[:n]
-        return scan, n
-
-    def _pad_imu(self, pkt: ScanPacket):
-        """Packed (m_max, 7) f32: rel-time + acc + gyr."""
-        m_max = self.cfg.n_imu_max
         m = min(len(pkt.imu_t), m_max)
-        imu = np.zeros((m_max, 7), np.float32)
+        buf = np.zeros(8 + m_max * 7 + n_max * 4, np.float32)
+        buf[0:8] = (self.acc_scale, last_end_rel, pcl_end_rel, n, m,
+                    1.0 if ekf_inited else 0.0, 1.0 if do_update else 0.0,
+                    0.0)
+        imu = buf[8:8 + m_max * 7].reshape(m_max, 7)
         imu[:m, 0] = pkt.imu_t[:m] - pkt.lidar_beg_time
         imu[:m, 1:4] = pkt.imu_acc[:m]
         imu[:m, 4:7] = pkt.imu_gyr[:m]
-        return imu, m
+        scan = buf[8 + m_max * 7:].reshape(n_max, 4)
+        scan[:n, :3] = pkt.pts[:n]
+        scan[:n, 3] = pkt.pt_time[:n]
+        return buf
 
     def process_packet(self, pkt: ScanPacket):
         t0 = time.perf_counter()
@@ -508,19 +510,14 @@ class Pipeline:
             self.last_lidar_end_time = pkt.lidar_end_time
             return
 
-        scan, n_pts = self._pad_scan(pkt)
-        imu, n_imu = self._pad_imu(pkt)
         last_end_rel = self.last_lidar_end_time - pkt.lidar_beg_time
         pcl_end_rel = pkt.lidar_end_time - pkt.lidar_beg_time
         ekf_inited = (
             pkt.lidar_beg_time - self.first_lidar_time
         ) >= cfg.init_time
         do_update = self.map_built
-        scalars = np.array(
-            [self.acc_scale, last_end_rel, pcl_end_rel, n_pts, n_imu,
-             1.0 if ekf_inited else 0.0, 1.0 if do_update else 0.0],
-            np.float32,
-        )
+        buf = self._pack_buf(pkt, last_end_rel, pcl_end_rel, ekf_inited,
+                             do_update)
 
         # NO host<->device syncs below: the step is dispatched asynchronously
         # and every readback (trajectory pose, diagnostics, world cloud) is a
@@ -528,8 +525,7 @@ class Pipeline:
         (self.x, self.P, self.map, self.imu_carry, self.lm_state, clouds, d
          ) = self._step_fn(
             self.x, self.P, self.map, self.imu_carry, self.Q,
-            jnp.asarray(scan), jnp.asarray(imu), jnp.asarray(scalars),
-            *self.lm_state,
+            jnp.asarray(buf), *self.lm_state,
         )
         if not self.map_built:
             # one-time sync during startup: did the first scan seed the map?
