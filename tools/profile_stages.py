@@ -125,9 +125,8 @@ def main():
     add_mask, ds_flag = ins_dec(q, ds_mask, nbrs, found, jnp.asarray(True))
     timeit("insert_decisions", ins_dec, q, ds_mask, nbrs, found,
            jnp.asarray(True))
-    ins = jax.jit(partial(hm.insert, cfg=map_cfg))
-    timeit("map insert (4096)", lambda mm, p, a, d: hm.insert(mm, map_cfg, p, a, d),
-           m, q, add_mask, ds_flag)
+    ins = jax.jit(lambda mm, p, a, d: hm.insert(mm, map_cfg, p, a, d))
+    timeit("map insert (4096)", ins, m, q, add_mask, ds_flag)
 
     # stage 7: prune
     lo = jnp.asarray([-150.0] * 3, dtype)
