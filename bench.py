@@ -2,7 +2,24 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference claims >100 Hz LiDAR-rate processing
-(/root/reference/README.md:42), so vs_baseline = scans_per_sec / 100.
+(/root/reference/README.md:236-261, README.md:42), so vs_baseline =
+scans_per_sec / 100.
+
+Measurement discipline (round 2):
+  * REAL synchronization — jax.block_until_ready does NOT block on the axon
+    tunnel backend (verified: an 8192^3 matmul "finishes" in 26 us under it
+    but takes 6.7 ms with a forced readback).  Every drain here materializes
+    a scalar that data-depends on the final step's covariance, which cannot
+    resolve until every dispatched scan has executed;
+  * deterministic warm-up — the first N_WARM scans are processed and the
+    device drained before the clock starts, so compiles (fresh or from the
+    persistent cache) never leak into the measurement;
+  * the measured scans are split into two independent halves, each timed
+    with its own device drain; the reported value is the full-span
+    throughput and the two halves are published in "extra" so run-to-run
+    and intra-run variance (tunnel stalls, rebalances) are visible;
+  * per-scan host dispatch deltas are recorded and their p50/p99 published —
+    if p99 >> p50 the host stalled (GC, tunnel), not the device.
 """
 import json
 import sys
@@ -10,6 +27,8 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+N_WARM = 6
 
 
 def main():
@@ -25,6 +44,8 @@ def main():
     from fast_lio_tpu.config import Config, LidarType
     from fast_lio_tpu.pipeline import Pipeline
 
+    import os
+
     # Avia-like load: ~12.8k raw points/scan pre-decimation, 0.3 m voxels.
     # Pads sized to keep XLA compile time bounded on the tunnel backend.
     cfg = Config(
@@ -37,9 +58,7 @@ def main():
         map_h_log2=13,  # x 64 slots = same 524k capacity as the old 15 x 16
         det_range=40.0,
         cube_side_length=300.0,
-        # NOTE: rescore_research stays off here — it saves ~2 ms/scan but its
-        # larger program can blow the remote-compile budget on this backend
-        # (see PERF.md); accuracy parity is covered by tests/test_rescore.py.
+        knn_backend=os.environ.get("FAST_LIO_KNN", "auto"),
     )
     duration = 10.0
     data = simlib.generate(
@@ -47,10 +66,9 @@ def main():
     )
     pipe = Pipeline(cfg)
 
+    # pre-build packets so packet sync never interleaves with timing
     imu_i = 0
-    n_warm = 4  # first scans absorb the two step compiles
-    t_meas = None
-    steps = 0
+    packets = []
     for k in range(len(data.scans)):
         stamp = data.scan_stamps[k]
         end = stamp + 0.1
@@ -58,22 +76,43 @@ def main():
             pipe.push_imu(data.imu_t[imu_i], data.imu_acc[imu_i], data.imu_gyr[imu_i])
             imu_i += 1
         pipe.push_lidar(stamp, data.scans[k], data.scan_pt_times[k])
-        while pipe.spin_once():
-            pass
-        if k == n_warm:
-            import jax
+        while True:
+            pkt = pipe.sync.pop_packet()
+            if pkt is None:
+                break
+            packets.append(pkt)
 
-            jax.block_until_ready(pipe.P)
-            t_meas = time.perf_counter()
-            steps = 0
-        if t_meas is not None:
-            steps += 1
-    import jax
+    def drain():
+        # forced host readback: the ONLY real synchronization on axon
+        return float(np.asarray(jax.device_get(pipe.P))[0, 0])
 
-    jax.block_until_ready(pipe.P)
-    wall = time.perf_counter() - t_meas
-    scans_per_sec = steps / wall
+    t_start = time.perf_counter()
+    # ---- warm-up: compiles + cache loads happen here ----
+    for pkt in packets[:N_WARM]:
+        pipe.process_packet(pkt)
+    drain()
+    warm_s = time.perf_counter() - t_start
 
+    # ---- measured run, two independent halves ----
+    meas = packets[N_WARM:]
+    half = len(meas) // 2
+    deltas = []
+    halves = []
+    t_meas0 = time.perf_counter()
+    for part in (meas[:half], meas[half:]):
+        t0 = time.perf_counter()
+        prev = t0
+        for pkt in part:
+            pipe.process_packet(pkt)
+            now = time.perf_counter()
+            deltas.append(now - prev)
+            prev = now
+        drain()
+        halves.append(len(part) / (time.perf_counter() - t0))
+    wall = time.perf_counter() - t_meas0
+    scans_per_sec = len(meas) / wall
+
+    deltas_ms = np.sort(np.asarray(deltas)) * 1e3
     ate = simlib.ate_rmse(pipe.trajectory, data)
     result = {
         "metric": "lio_scan_rate",
@@ -82,7 +121,14 @@ def main():
         "vs_baseline": round(scans_per_sec / 100.0, 3),
         "extra": {
             "ate_rmse_m": round(ate, 4),
-            "scans": steps,
+            "scans": len(meas),
+            "half1_scans_per_sec": round(halves[0], 2),
+            "half2_scans_per_sec": round(halves[1], 2),
+            "host_delta_p50_ms": round(float(deltas_ms[len(deltas_ms) // 2]), 3),
+            "host_delta_p99_ms": round(
+                float(deltas_ms[min(len(deltas_ms) - 1, int(len(deltas_ms) * 0.99))]), 3
+            ),
+            "warm_s": round(warm_s, 1),
             "n_eff_last": int(pipe.diags[-1].n_effective) if pipe.diags else 0,
             "map_size": int(pipe.diags[-1].map_size) if pipe.diags else 0,
             "platform": str(jax.devices()[0].platform),

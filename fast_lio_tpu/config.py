@@ -78,6 +78,17 @@ class Config:
     runtime_pos_log: bool = False
 
     # --- TPU runtime ---
+    knn_backend: str = "auto"  # "auto" | "xla" | "pallas": map kNN engine.
+    # auto = the fused Pallas kernel (map.knn_pallas) on TPU when the packed
+    # map fits VMEM, XLA region-gather otherwise.  Identical semantics.
+    knn_wide_fallback: bool = False  # when the 2x2x2 search leaves queries
+    # unsaturated (< 5 neighbors or 5th NN beyond the covered radius), re-run
+    # those scans' search over the centered 3x3x3 region (coverage radius =
+    # cell_size) — closes the sparse-regime gap toward the reference's
+    # sqrt(5) m acceptance gate (laserMapping.cpp:671) at ~3.4x search cost,
+    # paid only on scans that need it.
+    map_cell_multiplier: int = 4  # storage cell = N x map voxel; 5 with
+    # knn_wide_fallback gives full sqrt(5)-gate coverage at 0.5 m voxels.
     rescore_research: bool = False  # converged-iteration re-searches re-rank
     # the scan's cached candidate block instead of re-gathering the map:
     # ~exact (pose moves mm between iterates) and saves 1-2 gathers/scan.

@@ -6,22 +6,26 @@ with on-tree voxel downsampling, ``Delete_Point_Boxes``).  Pointer trees and
 dynamic shapes don't map to TPU, so this module re-designs the map as a
 fixed-capacity bucketed spatial hash held in device arrays:
 
-* storage: ``pts (H, B, 3)`` + ``valid (H, B)`` — H hash buckets of B slots.
-  A point lives in the bucket of its *storage cell* (side ``cell_size``,
-  default 4x the map-downsample voxel: coarse cells keep the kNN gather down
-  to 8 bucket rows while still covering the useful neighbor radius; the
-  reference's acceptance gate is 5th NN <= sqrt(5) m, laserMapping.cpp:671).
+* storage: ``packed (H, 4B)`` — H hash buckets of B slots in PLANAR row
+  layout ``[x(B) | y(B) | z(B) | w(B)]``.  The w channel encodes validity as
+  a distance penalty (0.0 = live, 1e18 = free slot), so a candidate's
+  masked squared distance is simply ``dx^2+dy^2+dz^2+w``.  One bucket is ONE
+  1 KB row: a single XLA gather row, a single DMA descriptor for the Pallas
+  kNN kernel (map.knn_pallas), and lane-aligned channel slices (B=64 ->
+  4x64=256 lanes).  A point lives in the bucket of its *storage cell* (side
+  ``cell_size``, default 4x the map-downsample voxel).
 * kNN     = gather the 2x2x2 cell region nearest the query (round-to-corner)
   + masked top-k (replaces ``Nearest_Search``).  Guaranteed coverage radius
-  = cell_size/2 = 2 map voxels — identical to the previous 3x3x3-of-2-voxel
-  layout, but with 8 gathered rows per query instead of 27 (XLA's gather
-  cost is per row; measured 2.1x faster end to end).  Hash collisions are
-  benign: a colliding candidate is a real map point whose true distance is
-  computed anyway, and candidates from outside the region are masked.
-* insert  = masked sort/rank/scatter with the reference's spatial hysteresis
+  = cell_size/2 = 2 map voxels.  Hash collisions are filtered exactly by an
+  axis-aligned bounds check against the region box (a colliding candidate
+  from a far cell fails the bounds test).  The optional wide mode (3x3x3
+  centered region, coverage radius = cell_size) closes the sparse-regime
+  gap toward the reference's sqrt(5) m acceptance gate
+  (laserMapping.cpp:671); see ``knn_search(..., wide=True)``.
+* insert  = masked scatter with the reference's spatial hysteresis
   (``map_incremental``, laserMapping.cpp:427-474) and the ikd-Tree's
   keep-nearest-to-voxel-center downsample semantics.
-* delete  = the sliding local-map cube becomes one masked AABB pass
+* delete  = the sliding local-map cube becomes one masked w-channel pass
   (replaces lazy ``Delete_Point_Boxes``).
 
 Everything is a pure function of the Map pytree; under jit the buffers are
@@ -36,6 +40,10 @@ import jax
 import jax.numpy as jnp
 
 NUM_MATCH_POINTS = 5  # common_lib.h:26
+
+W_FREE = 1.0e18  # w-channel value of a free slot; d2 >= 1e18 => not a point
+W_VALID_MAX = 1.0e17  # found threshold on returned squared distances
+_OOB = 1.0e18  # distance penalty for candidates outside the search region
 
 
 class MapConfig(NamedTuple):
@@ -52,53 +60,79 @@ class MapConfig(NamedTuple):
         return 1 << self.h_log2
 
     @property
+    def row_width(self):
+        return 4 * self.bucket_slots
+
+    @property
     def knn_candidates(self):
         """Candidate rows materialized per query by knn_search."""
         return 8 * self.bucket_slots
 
 
 def make_config(voxel_size: float, h_log2: int = 14,
-                bucket_slots: int = None) -> MapConfig:
-    """Canonical config: storage cell = 4 x map voxel (nesting guaranteed,
-    2x2x2-region kNN coverage radius = 2 voxels).  Default slot count covers
-    a full cell's worth of downsample voxels (4^3)."""
+                bucket_slots: int = None,
+                cell_multiplier: int = 4) -> MapConfig:
+    """Canonical config: storage cell = cell_multiplier x map voxel (nesting
+    guaranteed; 2x2x2-region kNN coverage radius = cell_multiplier/2 voxels).
+    Default slot count covers a full cell's worth of downsample voxels."""
     return MapConfig(
         h_log2=h_log2,
         bucket_slots=64 if bucket_slots is None else bucket_slots,
-        cell_size=4.0 * voxel_size,
+        cell_size=float(cell_multiplier) * voxel_size,
         voxel_size=voxel_size,
     )
 
 
 class Map(NamedTuple):
-    pts: jnp.ndarray  # (H, B, 3) f32
-    valid: jnp.ndarray  # (H, B) bool
+    packed: jnp.ndarray  # (H, 4B) f32 planar rows [x|y|z|w]
     dropped: jnp.ndarray  # () int32, points lost to bucket overflow
 
 
 def make_map(cfg: MapConfig, dtype=jnp.float32) -> Map:
     H, B = cfg.num_buckets, cfg.bucket_slots
-    return Map(
-        pts=jnp.zeros((H, B, 3), dtype=dtype),
-        valid=jnp.zeros((H, B), dtype=bool),
-        dropped=jnp.zeros((), jnp.int32),
+    packed = jnp.concatenate(
+        [jnp.zeros((H, 3 * B), dtype=dtype),
+         jnp.full((H, B), W_FREE, dtype=dtype)], axis=-1,
     )
+    return Map(packed=packed, dropped=jnp.zeros((), jnp.int32))
 
 
-def map_size(m: Map) -> jnp.ndarray:
+def channels(m: Map, cfg: MapConfig):
+    """(x, y, z, w) channel views of the packed rows, each (H, B)."""
+    B = cfg.bucket_slots
+    p = m.packed
+    return p[:, :B], p[:, B:2 * B], p[:, 2 * B:3 * B], p[:, 3 * B:]
+
+
+def valid_mask(m: Map, cfg: MapConfig) -> jnp.ndarray:
+    """(H, B) live-slot mask."""
+    B = cfg.bucket_slots
+    return m.packed[:, 3 * B:] == 0.0
+
+
+def map_size(m: Map, cfg: MapConfig = None) -> jnp.ndarray:
     """Live point count (the ikd-Tree ``validnum`` analog)."""
-    return jnp.sum(m.valid.astype(jnp.int32))
+    B = m.packed.shape[-1] // 4
+    return jnp.sum((m.packed[:, 3 * B:] == 0.0).astype(jnp.int32))
 
 
-def flatten(m: Map):
+def points(m: Map, cfg: MapConfig) -> jnp.ndarray:
+    """(H, B, 3) point coordinates (device view; mostly for tests)."""
+    x, y, z, _ = channels(m, cfg)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def flatten(m: Map, cfg: MapConfig = None):
     """All live map points as a host array (n, 3) — the ikd-Tree
     ``flatten``/PCL_Storage analog used for /Laser_map publishing and map
     export (laserMapping.cpp:944-947)."""
     import numpy as np
 
-    pts = np.asarray(m.pts.reshape(-1, 3))
-    valid = np.asarray(m.valid.reshape(-1))
-    return pts[valid]
+    p = np.asarray(m.packed)
+    B = p.shape[-1] // 4
+    pts = np.stack([p[:, :B], p[:, B:2 * B], p[:, 2 * B:3 * B]], axis=-1)
+    ok = p[:, 3 * B:] == 0.0
+    return pts.reshape(-1, 3)[ok.reshape(-1)]
 
 
 # --------------------------------------------------------------------------
@@ -142,7 +176,99 @@ _NEIGHBOR_OFFSETS = jnp.array(
     [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
     dtype=jnp.int32,
 )  # (8, 3) — the 2x2x2 region above the round-to-corner base cell
-_N_OFF = 8
+
+_WIDE_OFFSETS = jnp.array(
+    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+     for dz in (-1, 0, 1)],
+    dtype=jnp.int32,
+)  # (27, 3) — centered 3x3x3 region (wide / sparse-regime mode)
+
+
+def region_cells(queries: jnp.ndarray, cfg: MapConfig, wide: bool = False):
+    """Search-region cells per query: (base (N,3), cells (N,R,3), n_cells).
+
+    Standard: round-to-corner 2x2x2 (coverage radius cell_size/2).
+    Wide: centered 3x3x3 (coverage radius cell_size)."""
+    if wide:
+        base = jnp.floor(queries / cfg.cell_size - 1.0).astype(jnp.int32)
+        cells = base[:, None, :] + (_WIDE_OFFSETS[None, :, :] + 1)
+        return base, cells, 27
+    base = jnp.floor(queries / cfg.cell_size - 0.5).astype(jnp.int32)
+    cells = base[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]
+    return base, cells, 8
+
+
+def dedup_buckets(buckets: jnp.ndarray, sentinel: int):
+    """Sort each query's bucket list and point duplicates (two region cells
+    hashing to the same bucket) at ``sentinel`` so no slot enters the
+    candidate list twice.  Returns (buckets', dup_mask), both sorted order."""
+    b_sorted = jnp.sort(buckets, axis=-1)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(b_sorted[:, :1], dtype=bool),
+         b_sorted[:, 1:] == b_sorted[:, :-1]], axis=-1,
+    )
+    return jnp.where(dup, sentinel, b_sorted), dup
+
+
+def region_bounds(base: jnp.ndarray, cfg: MapConfig, n_side: int):
+    """Half-open AABB [lo, hi) of an n_side^3 cell region starting at base."""
+    lo = base.astype(jnp.float32) * cfg.cell_size
+    hi = lo + n_side * cfg.cell_size
+    return lo, hi
+
+
+def knn_search(
+    m: Map, cfg: MapConfig, queries: jnp.ndarray, k: int = NUM_MATCH_POINTS,
+    return_candidates: bool = False, wide: bool = False,
+):
+    """k nearest map points per query (XLA path).
+
+    queries: (N, 3).  Returns (neighbors (N, k, 3), sq_dists (N, k) — +inf for
+    missing, found_mask (N, k)).  Replaces ikd-Tree ``Nearest_Search``
+    (laserMapping.cpp:670) with a region gather + top-k: exact within the
+    covered neighborhood (>= cell_size/2 from the query in every axis
+    standard, >= cell_size wide).  Hash collisions are filtered exactly by
+    the region bounds check.  See map.knn_pallas for the fused TPU kernel
+    with identical semantics."""
+    B = cfg.bucket_slots
+    N = queries.shape[0]
+    base, cells, R = region_cells(queries, cfg, wide)
+    # sentinel = a real bucket (cheapest gather target); its candidate slots
+    # are killed outright by dup_mask below
+    buckets, dup_mask = dedup_buckets(
+        _bucket_of(cells, cfg.h_log2), cfg.num_buckets - 1
+    )
+
+    rows = m.packed[buckets.reshape(-1)].reshape(N, R, 4 * B)
+    cx = rows[:, :, 0 * B:1 * B].reshape(N, R * B)
+    cy = rows[:, :, 1 * B:2 * B].reshape(N, R * B)
+    cz = rows[:, :, 2 * B:3 * B].reshape(N, R * B)
+    cw = rows[:, :, 3 * B:4 * B].reshape(N, R * B)
+
+    d2 = ((cx - queries[:, None, 0]) ** 2 + (cy - queries[:, None, 1]) ** 2
+          + (cz - queries[:, None, 2]) ** 2 + cw)
+    lo, hi = region_bounds(base, cfg, 3 if wide else 2)
+    oob = ((cx < lo[:, None, 0]) | (cx >= hi[:, None, 0])
+           | (cy < lo[:, None, 1]) | (cy >= hi[:, None, 1])
+           | (cz < lo[:, None, 2]) | (cz >= hi[:, None, 2]))
+    kill = oob | jnp.repeat(dup_mask, B, axis=-1)
+    d2 = jnp.where(kill, _OOB, d2)
+
+    neg_top, idx = jax.lax.top_k(-d2, k)  # (N, k)
+    sq = -neg_top
+    found = sq < W_VALID_MAX
+    # winner-coordinate extraction as a one-hot matmul: on TPU this rides the
+    # MXU and is ~2.3x cheaper than per-row take_along_axis gathers
+    # (tools/microbench_knn6.py).  'highest' so f32 coordinates are never
+    # rounded through bf16 operands; the one-hot factor is exact either way.
+    oh = (idx[:, :, None] == jnp.arange(R * B)[None, None, :]).astype(cx.dtype)
+    cand = jnp.stack([cx, cy, cz], axis=-1)  # (N, R*B, 3)
+    nbrs = jnp.einsum("nkc,ncd->nkd", oh, cand, precision="highest")
+    sq = jnp.where(found, sq, jnp.inf)
+    if return_candidates:
+        cand_pts = jnp.stack([cx, cy, cz], axis=-1)
+        return nbrs, sq, found, cand_pts, ~kill & (cw == 0.0)
+    return nbrs, sq, found
 
 
 def rescore_candidates(
@@ -163,64 +289,6 @@ def rescore_candidates(
     sq = -neg_top
     nbrs = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
     return nbrs, sq, jnp.isfinite(sq)
-
-
-def knn_search(
-    m: Map, cfg: MapConfig, queries: jnp.ndarray, k: int = NUM_MATCH_POINTS,
-    return_candidates: bool = False,
-):
-    """k nearest map points per query.
-
-    queries: (N, 3).  Returns (neighbors (N, k, 3), sq_dists (N, k) — +inf for
-    missing, found_mask (N, k)).  Replaces ikd-Tree ``Nearest_Search``
-    (laserMapping.cpp:670) with an 8-cell (2x2x2) gather + top-k: exact
-    within the covered neighborhood (>= cell_size/2 from the query in every
-    axis), which covers the reference's acceptance gate (5th NN sq-dist <=
-    5 m^2) for any practically dense map region.
-    """
-    B = cfg.bucket_slots
-    # base = the corner cell of the 2x2x2 region nearest the query: every
-    # point within cell_size/2 of the query falls inside the region
-    base = jnp.floor(queries / cfg.cell_size - 0.5).astype(jnp.int32)  # (N,3)
-    ncells = base[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]  # (N, 8, 3)
-    buckets = _bucket_of(ncells, cfg.h_log2)  # (N, 8)
-
-    # two neighbor cells may hash to the same bucket; gather each bucket once
-    # or its slots would enter the candidate list (and the top-k) twice
-    b_sorted = jnp.sort(buckets, axis=-1)
-    dup = jnp.concatenate(
-        [jnp.zeros_like(b_sorted[:, :1], dtype=bool),
-         b_sorted[:, 1:] == b_sorted[:, :-1]], axis=-1,
-    )
-    buckets = jnp.where(dup, cfg.num_buckets - 1, b_sorted)  # harmlessly re-
-    # points dup slots at one bucket; their slots are masked below
-
-    cand_pts = m.pts[buckets].reshape(queries.shape[0], _N_OFF * B, 3)
-    cand_ok = m.valid[buckets].reshape(queries.shape[0], _N_OFF * B)
-    cand_ok = jnp.logical_and(
-        cand_ok, jnp.logical_not(jnp.repeat(dup, B, axis=-1))
-    )
-
-    # drop hash-collision candidates from cells outside the 2x2x2 block:
-    # keeps the search semantics exactly "kNN within the covered region",
-    # identical for any shard count (fast_lio_tpu.parallel merges per-shard
-    # results)
-    cand_cell = _cell_of(cand_pts, cfg.cell_size)
-    rel = cand_cell - base[:, None, :]
-    in_region = jnp.all(jnp.logical_and(rel >= 0, rel <= 1), axis=-1)
-    cand_ok = jnp.logical_and(cand_ok, in_region)
-
-    diff = cand_pts - queries[:, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
-    d2 = jnp.where(cand_ok, d2, jnp.inf)
-
-    neg_top, idx = jax.lax.top_k(-d2, k)  # (N, k)
-    sq = -neg_top
-    nbrs = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
-    found = jnp.isfinite(sq)
-    if return_candidates:
-        return nbrs, sq, found, cand_pts, jnp.isfinite(d2)
-    return nbrs, sq, found
 
 
 # --------------------------------------------------------------------------
@@ -282,12 +350,12 @@ def insert(
     Downsample-on points keep at most one point per 0.5 m voxel, preferring
     the one nearest the voxel center (ikd-Tree on-tree downsample semantics).
     Bucket-full points are dropped and counted (the tree would rebalance;
-    the local-map prune keeps occupancy low instead).
-    """
+    the local-map prune keeps occupancy low instead)."""
     N = pts.shape[0]
     H, B = cfg.num_buckets, cfg.bucket_slots
-    dtype = m.pts.dtype
-    FLAT = H * B
+    W = 4 * B
+    dtype = m.packed.dtype
+    FLAT = H * W
 
     vox = _cell_of(pts, cfg.voxel_size)  # (N,3) int voxel coords
     mid = _voxel_center(pts, cfg.voxel_size)
@@ -313,17 +381,21 @@ def insert(
     # ---- per-candidate bucket + slot inspection --------------------------
     cell = _cell_of(pts, cfg.cell_size)
     bucket = _bucket_of(cell, cfg.h_log2)  # (N,)
-    slot_pts = m.pts[bucket]  # (N, B, 3)
-    slot_ok = m.valid[bucket]  # (N, B)
+    rows = m.packed[bucket]  # (N, W)
+    sx, sy, sz = rows[:, :B], rows[:, B:2 * B], rows[:, 2 * B:3 * B]
+    slot_ok = rows[:, 3 * B:] == 0.0  # (N, B)
 
-    slot_vox = _cell_of(slot_pts, cfg.voxel_size)  # (N, B, 3)
-    same_vox = jnp.logical_and(
-        jnp.all(slot_vox == vox[:, None, :], axis=-1), slot_ok
+    same_vox = (
+        (jnp.floor(sx / cfg.voxel_size).astype(jnp.int32) == vox[:, None, 0])
+        & (jnp.floor(sy / cfg.voxel_size).astype(jnp.int32) == vox[:, None, 1])
+        & (jnp.floor(sz / cfg.voxel_size).astype(jnp.int32) == vox[:, None, 2])
+        & slot_ok
     )  # (N, B)
     has_same = jnp.any(same_vox, axis=-1)
     same_slot = jnp.argmax(same_vox, axis=-1)  # first matching slot
 
-    slot_mid_d = jnp.sum((slot_pts - mid[:, None, :]) ** 2, axis=-1)
+    slot_mid_d = ((sx - mid[:, None, 0]) ** 2 + (sy - mid[:, None, 1]) ** 2
+                  + (sz - mid[:, None, 2]) ** 2)
     existing_d = jnp.take_along_axis(slot_mid_d, same_slot[:, None], axis=1)[:, 0]
 
     is_ds = jnp.logical_and(live, downsample)
@@ -355,18 +427,23 @@ def insert(
     overflow = jnp.sum(jnp.logical_and(do_append, rank >= free_count))
 
     # ---- scatter ----------------------------------------------------------
-    flat_replace = jnp.where(do_replace, bucket * B + same_slot, FLAT)
-    flat_append = jnp.where(app_ok, bucket * B + app_slot, FLAT)
+    # one flat scatter of 4 channel lanes per written point (x, y, z, w=0)
+    def flat_idx(slot, on):
+        base = jnp.where(on, bucket * W + slot, FLAT)  # FLAT = dropped
+        return jnp.stack([base, base + B, base + 2 * B, base + 3 * B], -1)
 
-    pts_flat = m.pts.reshape(FLAT, 3)
-    val_flat = m.valid.reshape(FLAT)
-    pts_flat = pts_flat.at[flat_replace].set(pts.astype(dtype), mode="drop")
-    pts_flat = pts_flat.at[flat_append].set(pts.astype(dtype), mode="drop")
-    val_flat = val_flat.at[flat_append].set(True, mode="drop")
+    idx = jnp.concatenate(
+        [flat_idx(same_slot, do_replace), flat_idx(app_slot, app_ok)], axis=0
+    )  # (2N, 4)
+    zeros = jnp.zeros((N, 1), dtype)
+    vals = jnp.concatenate([pts.astype(dtype), zeros], axis=-1)  # (N, 4)
+    vals = jnp.concatenate([vals, vals], axis=0)  # (2N, 4)
+
+    packed = m.packed.reshape(FLAT)
+    packed = packed.at[idx.reshape(-1)].set(vals.reshape(-1), mode="drop")
 
     return Map(
-        pts=pts_flat.reshape(H, B, 3),
-        valid=val_flat.reshape(H, B),
+        packed=packed.reshape(H, W),
         dropped=m.dropped + overflow.astype(jnp.int32),
     )
 
@@ -381,9 +458,12 @@ def prune_outside(m: Map, lo: jnp.ndarray, hi: jnp.ndarray) -> Map:
 
     Replaces the vacated-slab ``Delete_Point_Boxes`` bookkeeping
     (laserMapping.cpp:254-275): pruning to the *new* cube is equivalent to
-    deleting the vacated slabs and costs one masked elementwise pass.
+    deleting the vacated slabs and costs one masked w-channel pass.
     """
-    inside = jnp.all(
-        jnp.logical_and(m.pts >= lo, m.pts <= hi), axis=-1
-    )
-    return m._replace(valid=jnp.logical_and(m.valid, inside))
+    B = m.packed.shape[-1] // 4
+    x, y, z = m.packed[:, :B], m.packed[:, B:2 * B], m.packed[:, 2 * B:3 * B]
+    w = m.packed[:, 3 * B:]
+    inside = ((x >= lo[0]) & (x <= hi[0]) & (y >= lo[1]) & (y <= hi[1])
+              & (z >= lo[2]) & (z <= hi[2]))
+    new_w = jnp.where(inside, w, jnp.asarray(W_FREE, m.packed.dtype))
+    return m._replace(packed=m.packed.at[:, 3 * B:].set(new_w))

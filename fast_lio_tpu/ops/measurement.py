@@ -87,7 +87,7 @@ def compute_measurement(
     x: st.State,
     pts_body: jnp.ndarray,  # (N, 3) deskewed, LiDAR frame
     mask: jnp.ndarray,  # (N,) live points
-    knn_fn,  # queries (N,3) -> (nbrs (N,K,3), sq (N,K), found (N,K))
+    knn_fn,  # (queries (N,3), mask (N,)) -> (nbrs (N,K,3), sq (N,K), found)
     cache: NeighborCache,
     converge: jnp.ndarray,  # () bool — re-search gate
     extrinsic_est: bool = True,
@@ -97,11 +97,12 @@ def compute_measurement(
     """One h_share_model evaluation.  Returns (h_x, h, sel, cache', p_world).
 
     h_x: (N, 12), h: (N,) with h = -pd2; sel is the effective-point mask.
-    ``knn_fn`` abstracts the map search so the multi-device layer can inject
-    a shard-merged search; single-device callers pass
-    ``partial(hash_map.knn_search, m, cfg)``.  With ``rescore`` on, knn_fn
-    must return (nbrs, sq, found, cand_pts, cand_ok) and converged-iteration
-    re-searches re-rank the cached candidates instead of re-gathering.
+    ``knn_fn`` abstracts the map search (build with pipeline.make_knn_fn) so
+    the multi-device layer can inject a shard-merged search; it receives the
+    live-point mask so adaptive modes (wide fallback) ignore padded rows.
+    With ``rescore`` on, knn_fn must return (nbrs, sq, found, cand_pts,
+    cand_ok) and converged-iteration re-searches re-rank the cached
+    candidates instead of re-gathering.
     """
     dtype = pts_body.dtype
     p_world = body_to_world(x, pts_body)
@@ -117,7 +118,7 @@ def compute_measurement(
         from ..map.hash_map import rescore_candidates
 
         def full_search(_):
-            nbrs, sq, found, cand_pts, cand_ok = knn_fn(p_world)
+            nbrs, sq, found, cand_pts, cand_ok = knn_fn(p_world, mask)
             return NeighborCache(
                 *select_and_fit(nbrs, sq, found),
                 cand_pts.astype(dtype), cand_ok, jnp.asarray(True),
@@ -139,7 +140,7 @@ def compute_measurement(
     else:
 
         def research(_):
-            nbrs, sq, found = knn_fn(p_world)
+            nbrs, sq, found = knn_fn(p_world, mask)
             return NeighborCache(
                 *select_and_fit(nbrs, sq, found),
                 cache.cand_pts, cache.cand_ok, cache.has_cands,

@@ -61,9 +61,12 @@ def make_sharded_map(
     lcfg = local_map_cfg(cfg_global, n)
     H, B = n * lcfg.num_buckets, lcfg.bucket_slots
     sh = NamedSharding(mesh, P(AXIS))
+    packed = jnp.concatenate(
+        [jnp.zeros((H, 3 * B), dtype=dtype),
+         jnp.full((H, B), hm.W_FREE, dtype=dtype)], axis=-1,
+    )
     return hm.Map(
-        pts=jax.device_put(jnp.zeros((H, B, 3), dtype=dtype), sh),
-        valid=jax.device_put(jnp.zeros((H, B), dtype=bool), sh),
+        packed=jax.device_put(packed, sh),
         dropped=jax.device_put(
             jnp.zeros((n,), jnp.int32), sh
         ),  # per-shard overflow counter
@@ -140,7 +143,7 @@ def sharded_lio_step(
 
     # 4: update with shard-merged kNN + sliced rows + psum'd reductions
     cache0 = meas.empty_cache(N, pts_ds.dtype)
-    knn_fn = partial(_merged_knn, m_local, lcfg, k=meas.NUM_MATCH)
+    knn_fn = lambda q, mask: _merged_knn(m_local, lcfg, q, meas.NUM_MATCH)
     slice_mask = (jnp.arange(N) % n_devices) == my
 
     def h_fn(x_i, converge, cache):
@@ -202,7 +205,7 @@ def wrap_sharded_step(cfg: Config, map_cfg: hm.MapConfig, mesh: Mesh,
     n = mesh.devices.size
     body = partial(sharded_lio_step, cfg, map_cfg, n, do_update=do_update)
 
-    map_specs = hm.Map(pts=P(AXIS), valid=P(AXIS), dropped=P(AXIS))
+    map_specs = hm.Map(packed=P(AXIS), dropped=P(AXIS))
     rep = P()
     x_spec = st.State(*([rep] * 8))
     carry_spec = imu_mod.ImuCarry(rep, rep)

@@ -36,6 +36,68 @@ from .ops.voxel_grid import voxel_downsample
 MOV_THRESHOLD = 1.5  # laserMapping.cpp:78
 
 
+def use_pallas_knn(cfg: Config, map_cfg: hm.MapConfig) -> bool:
+    """Backend choice for the map kNN (Config.knn_backend)."""
+    from .map import knn_pallas as kp
+
+    if cfg.knn_backend == "pallas":
+        return True
+    if cfg.knn_backend == "xla":
+        return False
+    if cfg.rescore_research:  # kernel path doesn't materialize candidates
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return False
+    return platform == "tpu" and kp.supports(map_cfg)
+
+
+def make_knn_fn(cfg: Config, map_cfg: hm.MapConfig, m: hm.Map):
+    """(queries (N,3), mask (N,)) -> (nbrs, sq, found) against map ``m``.
+
+    Selects the XLA region-gather or the fused Pallas kernel
+    (map.knn_pallas), and optionally wraps the adaptive wide-region fallback
+    (Config.knn_wide_fallback): when any live query is unsaturated — fewer
+    than 5 neighbors found, or its 5th NN beyond the guaranteed coverage
+    radius cell_size/2 — the search re-runs over the centered 3x3x3 region
+    (coverage radius cell_size), recovering the reference's unbounded
+    ikd-Tree search semantics up to the sqrt(5) m gate for
+    cell_size >= sqrt(5) (laserMapping.cpp:671)."""
+    from functools import partial as _partial
+
+    if cfg.rescore_research:
+        inner = _partial(hm.knn_search, m, map_cfg, return_candidates=True)
+        return lambda q, mask: inner(q)
+
+    if use_pallas_knn(cfg, map_cfg):
+        from .map import knn_pallas as kp
+
+        base = _partial(kp.knn_search_pallas, m, map_cfg)
+    else:
+        base = _partial(hm.knn_search, m, map_cfg)
+
+    if not cfg.knn_wide_fallback:
+        return lambda q, mask: base(q)
+
+    rcov2 = (0.5 * map_cfg.cell_size) ** 2
+
+    def with_fallback(queries, mask):
+        nbrs, sq, found = base(queries)
+        unsat = jnp.logical_or(
+            jnp.logical_not(found[:, -1]), sq[:, -1] > rcov2
+        )
+        need = jnp.any(jnp.logical_and(unsat, mask))
+        return jax.lax.cond(
+            need,
+            lambda _: base(queries, wide=True),
+            lambda _: (nbrs, sq, found),
+            operand=None,
+        )
+
+    return with_fallback
+
+
 @dataclasses.dataclass
 class ScanPacket:
     """A synced measurement packet (the MeasureGroup analog, common_lib.h:55-66)."""
@@ -246,10 +308,7 @@ def lio_step(
     # 4. iterated point-to-plane update (hot loops #2-#4)
     n_cand = map_cfg.knn_candidates if cfg.rescore_research else 0
     cache0 = meas.empty_cache(cfg.n_ds_max, pts_ds.dtype, n_cand)
-    knn_fn = partial(
-        hm.knn_search, m, map_cfg,
-        return_candidates=cfg.rescore_research,
-    )
+    knn_fn = make_knn_fn(cfg, map_cfg, m)
 
     def h_fn(x_i, converge, cache):
         h_x, h, sel, cache, valid, _pw = meas.compute_measurement(

@@ -27,7 +27,7 @@ def save(path, x: st.State, P, m: hm.Map, imu_carry: imu_mod.ImuCarry,
         "pos": x.pos, "rot": x.rot, "offset_R_L_I": x.offset_R_L_I,
         "offset_T_L_I": x.offset_T_L_I, "vel": x.vel, "bg": x.bg,
         "ba": x.ba, "grav": x.grav, "P": P,
-        "map_pts": m.pts, "map_valid": m.valid, "map_dropped": m.dropped,
+        "map_packed": m.packed, "map_dropped": m.dropped,
         "angvel_last": imu_carry.angvel_last,
         "acc_s_last": imu_carry.acc_s_last,
     }
@@ -53,8 +53,18 @@ def load(path, dtype=None):
         ba=get("ba"), grav=get("grav"),
     )
     P = get("P")
-    m = hm.Map(pts=get("map_pts"), valid=jnp.asarray(z["map_valid"]),
-               dropped=jnp.asarray(z["map_dropped"]))
+    if "map_packed" in z.files:
+        m = hm.Map(packed=get("map_packed"),
+                   dropped=jnp.asarray(z["map_dropped"]))
+    else:  # pre-round-2 checkpoint layout (pts/valid arrays)
+        pts = np.asarray(z["map_pts"])
+        ok = np.asarray(z["map_valid"])
+        w = np.where(ok, 0.0, hm.W_FREE).astype(pts.dtype)
+        packed = np.concatenate(
+            [pts[..., 0], pts[..., 1], pts[..., 2], w], axis=-1
+        )
+        m = hm.Map(packed=jnp.asarray(packed),
+                   dropped=jnp.asarray(z["map_dropped"]))
     carry = imu_mod.ImuCarry(get("angvel_last"), get("acc_s_last"))
     meta = {k[5:]: z[k] for k in z.files if k.startswith("meta_")}
     return x, P, m, carry, meta

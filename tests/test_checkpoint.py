@@ -63,7 +63,7 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(
         np.asarray(st.boxminus(pipe2.x, pipe.x)), 0.0, atol=1e-7
     )
-    assert int(jax.device_get((pipe2.map.valid == pipe.map.valid).all()))
+    assert int(jax.device_get((pipe2.map.packed == pipe.map.packed).all()))
 
     # continue the run
     feed(pipe2, data, 20, 28, s)

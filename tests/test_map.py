@@ -68,7 +68,7 @@ def test_insert_downsample_keeps_nearest_to_voxel_center():
     )
     m = hm.insert(m, CFG, pts, jnp.ones(3, bool), jnp.ones(3, bool))
     assert int(hm.map_size(m)) == 1
-    kept = np.asarray(m.pts.reshape(-1, 3)[np.asarray(m.valid.reshape(-1))])
+    kept = hm.flatten(m)
     np.testing.assert_allclose(kept[0], [0.26, 0.24, 0.25], atol=0)
 
 
@@ -79,11 +79,11 @@ def test_insert_downsample_replaces_incumbent():
     better = jnp.asarray([[0.24, 0.26, 0.25]])
     m = hm.insert(m, CFG, better, jnp.ones(1, bool), jnp.ones(1, bool))
     assert int(hm.map_size(m)) == 1
-    kept = np.asarray(m.pts.reshape(-1, 3)[np.asarray(m.valid.reshape(-1))])
+    kept = hm.flatten(m)
     np.testing.assert_allclose(kept[0], [0.24, 0.26, 0.25], atol=0)
     worse = jnp.asarray([[0.4, 0.4, 0.4]])
     m = hm.insert(m, CFG, worse, jnp.ones(1, bool), jnp.ones(1, bool))
-    kept = np.asarray(m.pts.reshape(-1, 3)[np.asarray(m.valid.reshape(-1))])
+    kept = hm.flatten(m)
     assert int(hm.map_size(m)) == 1
     np.testing.assert_allclose(kept[0], [0.24, 0.26, 0.25], atol=0)
 

@@ -36,4 +36,4 @@ def test_sharded_pipeline_e2e():
     assert ate < 0.06, f"sharded pipeline ATE {ate * 100:.1f} cm"
     assert int(pipe.diags[-1].n_effective) > 500
     # the map really is sharded: each device holds a distinct shard
-    assert len(pipe.map.pts.sharding.device_set) == 8
+    assert len(pipe.map.packed.sharding.device_set) == 8

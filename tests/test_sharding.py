@@ -17,7 +17,14 @@ from fast_lio_tpu.parallel import sharding
 from fast_lio_tpu.pipeline import lio_step
 
 RNG = np.random.default_rng(21)
-DT = jnp.float32
+# f64: the single-device and sharded paths compute the SAME math with
+# different reduction orders (psum of per-shard partial HtH vs one matmul).
+# In f32 that rounding can flip one gate (s>0.9 / 5th-NN<=5) on a point near
+# threshold, after which two not-yet-converged GN runs legitimately differ at
+# the cm level (observed; the e2e f32 realism check lives in
+# test_sharded_pipeline.py).  In f64 no gate flips, so equivalence is tight
+# and the assertions below prove the sharded ALGORITHM is exact.
+DT = jnp.float64
 
 
 def make_cfg():
@@ -102,8 +109,7 @@ def test_sharded_step_matches_single_device():
     from jax.sharding import PartitionSpec as P
 
     rep = P()
-    map_specs = hm.Map(pts=P(sharding.AXIS), valid=P(sharding.AXIS),
-                       dropped=P(sharding.AXIS))
+    map_specs = hm.Map(packed=P(sharding.AXIS), dropped=P(sharding.AXIS))
     x_spec = st.State(*([rep] * 8))
     carry_spec = imu_mod.ImuCarry(rep, rep)
     in_specs = (x_spec, rep, map_specs, carry_spec, rep) + (rep,) * 14
@@ -131,8 +137,7 @@ def test_sharded_step_matches_single_device():
     # deterministic across shard counts) and the shard-merged kNN must equal
     # the single-table kNN exactly on that shared content ---
     def live_set(m):
-        pts = np.asarray(m.pts.reshape(-1, 3)[np.asarray(m.valid.reshape(-1))])
-        return set(map(tuple, np.round(pts, 5)))
+        return set(map(tuple, np.round(hm.flatten(m), 5)))
 
     # single-device round 1 state for comparison
     m_s1 = hm.make_map(map_cfg, DT)
@@ -157,9 +162,7 @@ def test_sharded_step_matches_single_device():
     assert bool((f_s == f_m).all())
     sq_sn = np.where(np.isfinite(np.asarray(sq_s)), np.asarray(sq_s), -1)
     sq_mn = np.where(np.isfinite(np.asarray(sq_m)), np.asarray(sq_m), -1)
-    # (atol: round-1 states agree to ~1e-11, so stored points and thus
-    # distances carry f32-eps-level noise)
-    np.testing.assert_allclose(sq_sn, sq_mn, atol=1e-6)
+    np.testing.assert_allclose(sq_sn, sq_mn, atol=1e-11)
 
     # --- update round: psum reassociation may flip a convergence-gated
     # iteration, so single and sharded agree to the filter's own tolerance ---
@@ -167,13 +170,11 @@ def test_sharded_step_matches_single_device():
         xm, Pm, m_m, cm, Q, *ins2
     )
     size_s, size_m = int(d_s["map_size"]), int(d_m["map_size"])
-    assert abs(size_s - size_m) <= max(5, 0.01 * size_s)
+    assert size_s == size_m
     neff_s, neff_m = int(d_s["n_eff"]), int(d_m["n_eff"])
-    assert abs(neff_s - neff_m) <= 0.05 * max(neff_s, 1)
-    # two runs that stop on different GN iterates can differ by a few
-    # epsi-sized steps; 5x epsi bounds "same fixed point" without flakiness
+    assert neff_s == neff_m
+    # f64: no gate flips -> the two paths track the same GN iterates; only
+    # reduction-order rounding (~1e-13) separates them
     dx = np.asarray(st.boxminus(xs, xm))
-    np.testing.assert_allclose(dx, 0.0, atol=5 * cfg.epsi)
-    # P entries are O(0.13); runs differing by one gated iteration move a few
-    # entries by ~0.03
-    np.testing.assert_allclose(np.asarray(Ps), np.asarray(Pm), atol=0.05)
+    np.testing.assert_allclose(dx, 0.0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Ps), np.asarray(Pm), atol=1e-8)

@@ -1,0 +1,137 @@
+"""Part 5 (round 2): decompose the XLA kNN cost with REAL sync (slope
+method, see microbench_device.py) and test cheaper selectors + a packed-key
+voxel downsample.
+Run manually: python tools/microbench_knn5.py
+"""
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/fast_lio_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+H, B, NQ, NR = 8192, 64, 4096, 8
+C = NR * B
+rng = np.random.default_rng(0)
+packed = jnp.asarray(rng.normal(size=(H, 4 * B)), jnp.float32)
+buckets = jnp.asarray(rng.integers(0, H, size=(NQ, NR)), jnp.int32)
+q = jnp.asarray(rng.normal(size=(NQ, 3)).astype(np.float32) * 3)
+raw = jnp.asarray(rng.uniform(-15, 15, size=(8192, 3)), jnp.float32)
+raw_mask = jnp.arange(8192) < 6400
+
+N_LO, N_HI = 4, 24
+
+
+def slope(name, make_fn, *args):
+    t = {}
+    for n in (N_LO, N_HI):
+        f = jax.jit(make_fn(n))
+        out = f(*args)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        best = np.inf
+        for _ in range(4):
+            t0 = time.perf_counter()
+            out = f(*args)
+            _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+            best = min(best, time.perf_counter() - t0)
+        t[n] = best
+    print(f"{name:46s} {(t[N_HI]-t[N_LO])/(N_HI-N_LO)*1e3:8.3f} ms/iter")
+
+
+def d2_of(bk, qq):
+    rows = packed[bk.reshape(-1)].reshape(NQ, NR, 4 * B)
+    cx = rows[:, :, 0 * B:1 * B].reshape(NQ, C)
+    cy = rows[:, :, 1 * B:2 * B].reshape(NQ, C)
+    cz = rows[:, :, 2 * B:3 * B].reshape(NQ, C)
+    cw = rows[:, :, 3 * B:4 * B].reshape(NQ, C)
+    d2 = ((cx - qq[:, None, 0]) ** 2 + (cy - qq[:, None, 1]) ** 2
+          + (cz - qq[:, None, 2]) ** 2 + cw)
+    return d2, cx, cy, cz
+
+
+def mk(body):
+    def make(n):
+        def f(bk, qq):
+            def it(i, acc):
+                return acc + body((bk + i) & (H - 1), qq + acc * 1e-12)
+            return jax.lax.fori_loop(0, n, it, 0.0)
+        return f
+    return make
+
+
+def b_d2(bk, qq):
+    d2, *_ = d2_of(bk, qq)
+    return d2.sum()
+
+
+def b_topk(bk, qq):
+    d2, *_ = d2_of(bk, qq)
+    neg, idx = jax.lax.top_k(-d2, 5)
+    return neg.sum()
+
+
+def b_topk_extract(bk, qq):
+    d2, cx, cy, cz = d2_of(bk, qq)
+    neg, idx = jax.lax.top_k(-d2, 5)
+    nx = jnp.take_along_axis(cx, idx, axis=1)
+    ny = jnp.take_along_axis(cy, idx, axis=1)
+    nz = jnp.take_along_axis(cz, idx, axis=1)
+    return neg.sum() + nx.sum() + ny.sum() + nz.sum()
+
+
+def b_iter5(bk, qq):
+    d2, cx, cy, cz = d2_of(bk, qq)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (NQ, C), 1)
+    tot = 0.0
+    for _ in range(5):
+        m = jnp.min(d2, axis=1, keepdims=True)
+        l = jnp.min(jnp.where(d2 == m, lanes, C), axis=1, keepdims=True)
+        hit = (lanes == l).astype(jnp.float32)
+        tot = tot + (cx * hit).sum() + (cy * hit).sum() + (cz * hit).sum() \
+            + m.sum()
+        d2 = jnp.where(lanes == l, jnp.inf, d2)
+    return tot
+
+
+def b_ds_lexsort(bk, qq):
+    from fast_lio_tpu.ops.voxel_grid import voxel_downsample
+    c, om = voxel_downsample(raw + qq[0, 0] * 1e-12, raw_mask, 0.3, 4096)
+    return c.sum()
+
+
+def b_ds_packed(bk, qq):
+    pts = raw + qq[0, 0] * 1e-12
+    leaf, n_out = 0.3, 4096
+    cell = jnp.floor(pts / leaf).astype(jnp.int32)
+    ref = jnp.min(jnp.where(raw_mask[:, None], cell, 2**20), axis=0)
+    rel = jnp.clip(cell - ref, 0, 1023)
+    key = (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]
+    key = jnp.where(raw_mask, key, jnp.int32(2**30))
+    order = jnp.argsort(key)
+    ks = key[order]
+    pts_s = pts[order]
+    live_s = ks < 2**30
+    first = jnp.concatenate([jnp.array([True]), ks[1:] != ks[:-1]])
+    first = first & live_s
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.where(live_s, jnp.minimum(seg, n_out), n_out)
+    w = live_s.astype(jnp.float32)
+    sums = jax.ops.segment_sum(pts_s * w[:, None], seg, num_segments=n_out + 1)
+    cnts = jax.ops.segment_sum(w, seg, num_segments=n_out + 1)
+    return (sums[:n_out] / jnp.maximum(cnts[:n_out], 1.0)[:, None]).sum()
+
+
+if __name__ == "__main__":
+    slope("gather+d2 only", mk(b_d2), buckets, q)
+    slope("gather+d2+top_k", mk(b_topk), buckets, q)
+    slope("gather+d2+top_k+take_along", mk(b_topk_extract), buckets, q)
+    slope("gather+d2+5x(min+onehot extract)", mk(b_iter5), buckets, q)
+    slope("voxel downsample (lexsort, current)", mk(b_ds_lexsort), buckets, q)
+    slope("voxel downsample (packed 1-key sort)", mk(b_ds_packed), buckets, q)
