@@ -97,12 +97,7 @@ def main(argv=None):
 
     pipe = Pipeline(cfg)
     if args.resume:
-        pipe.x, pipe.P, pipe.map, pipe.imu_carry, meta = ckpt.load(
-            args.resume, pipe.dtype
-        )
-        pipe.imu_need_init = False
-        pipe.map_built = True
-        pipe.acc_scale = float(meta.get("acc_scale", 1.0))
+        ckpt.load_pipeline(args.resume, pipe)
         print(f"resumed from {args.resume}")
 
     if args.profile:
@@ -183,8 +178,7 @@ def main(argv=None):
         ckpt.save_pcd(out / "scans.pcd", flatten(pipe.map))
 
     if args.checkpoint:
-        ckpt.save(out / "checkpoint.npz", pipe.x, pipe.P, pipe.map,
-                  pipe.imu_carry, meta={"acc_scale": pipe.acc_scale})
+        ckpt.save_pipeline(out / "checkpoint.npz", pipe)
 
     n_scans = len(traj)
     summary = {

@@ -94,6 +94,11 @@ class Config:
     # ~exact (pose moves mm between iterates) and saves 1-2 gathers/scan.
     # Off by default for reference-faithful association.
     n_points_max: int = 32768  # raw scan pad (post-decimation)
+    pad_buckets: Tuple[int, ...] = ()  # optional scan-size buckets, e.g.
+    # (4096, 8192, 16384, 32768): each scan runs at the smallest pad that
+    # fits (one XLA compile per bucket, persistent-cached); empty = single
+    # pad n_points_max.  Oversized scans are truncated WITH accounting
+    # (pipeline.health_check()['truncated_points']), never silently.
     n_ds_max: int = 8192  # downsampled block pad (the filter's N)
     n_imu_max: int = 64  # IMU samples per scan pad
     map_h_log2: int = 15  # 32768 buckets

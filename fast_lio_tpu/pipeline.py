@@ -210,6 +210,7 @@ class StepDiag:
     """
 
     n_raw: int = 0
+    n_truncated: int = 0
     n_down: object = 0
     n_effective: object = 0
     iterations: object = 0
@@ -372,6 +373,7 @@ class Pipeline:
             voxel_size=cfg.filter_size_map,
             h_log2=cfg.map_h_log2,
             bucket_slots=cfg.map_bucket_slots,
+            cell_multiplier=cfg.map_cell_multiplier,
         )
         self.sync = SyncBuffer(cfg)
 
@@ -395,6 +397,12 @@ class Pipeline:
             jnp.zeros(3, self.dtype),
             jnp.asarray(False),
         )
+
+        # scan-size pad buckets (one compile each, persistent-cached)
+        self.pad_buckets = tuple(sorted(set(
+            cfg.pad_buckets or (cfg.n_points_max,))))
+        self.truncated_points = 0
+        self._warned_truncation = False
 
         # host state
         self.imu_stats = imu_mod.empty_stats()
@@ -435,13 +443,17 @@ class Pipeline:
         # host->device dispatch, so the per-scan inputs travel as ONE flat
         # f32 buffer — [scalars (8) | imu (M,7: t+acc+gyr) | scan (N,4:
         # xyz+t)] — and the masks are rebuilt on device from the counts.
+        # The scan pad N is a per-call shape: process_packet buckets each
+        # scan to the smallest pad in Config.pad_buckets that fits (one
+        # compile per bucket, persistent-cached), so small scans cost
+        # proportionally less and big scans are not silently clipped.
         sharded = self.mesh is not None
-        N = cfg.n_points_max
         M = cfg.n_imu_max
 
         def packed(x, P, m, imu_carry, Q, buf, lm_lo, lm_hi, lm_init):
             scalars = buf[:8]
             imu = buf[8:8 + M * 7].reshape(M, 7)
+            N = (buf.shape[0] - 8 - M * 7) // 4
             scan = buf[8 + M * 7:].reshape(N, 4)
             n_pts = scalars[3].astype(jnp.int32)
             n_imu = scalars[4].astype(jnp.int32)
@@ -461,6 +473,12 @@ class Pipeline:
             return inner(*args, scalars[6] > 0.5)
 
         return jax.jit(packed, donate_argnums=(2,))
+
+    def _pad_for(self, n: int) -> int:
+        """Smallest configured pad >= n (largest if none fits; the overflow
+        is counted, never silent — see process_packet)."""
+        pads = [p for p in self.pad_buckets if p >= n]
+        return min(pads) if pads else max(self.pad_buckets)
 
     # ------------------------------------------------------------------
     # host orchestration
@@ -493,6 +511,7 @@ class Pipeline:
             "p_max_eig": float(eig.max()) if eig is not None else float("nan"),
             "map_size": int(jax.device_get(hm.map_size(self.map))),
             "map_dropped": int(np.asarray(jax.device_get(self.map.dropped)).sum()),
+            "truncated_points": self.truncated_points,
             "scans": len(self.trajectory),
             "imu_initialized": not self.imu_need_init,
             "map_built": self.map_built,
@@ -525,9 +544,11 @@ class Pipeline:
         return True
 
     def _pack_buf(self, pkt: ScanPacket, last_end_rel, pcl_end_rel,
-                  ekf_inited, do_update):
+                  ekf_inited, do_update, n_max=None):
         """One flat f32 feed buffer: [scalars(8) | imu(M,7) | scan(N,4)]."""
-        n_max, m_max = self.cfg.n_points_max, self.cfg.n_imu_max
+        if n_max is None:
+            n_max = self.cfg.n_points_max
+        m_max = self.cfg.n_imu_max
         n = min(len(pkt.pts), n_max)
         m = min(len(pkt.imu_t), m_max)
         buf = np.zeros(8 + m_max * 7 + n_max * 4, np.float32)
@@ -575,8 +596,22 @@ class Pipeline:
             pkt.lidar_beg_time - self.first_lidar_time
         ) >= cfg.init_time
         do_update = self.map_built
+        pad = self._pad_for(len(pkt.pts))
+        truncated = max(0, len(pkt.pts) - pad)
+        if truncated:
+            self.truncated_points += truncated
+            if not self._warned_truncation:
+                self._warned_truncation = True
+                import warnings
+
+                warnings.warn(
+                    f"scan of {len(pkt.pts)} points exceeds the largest pad "
+                    f"bucket {pad}; {truncated} points dropped (this is "
+                    "counted in health_check()['truncated_points'] — raise "
+                    "Config.n_points_max or add a pad bucket)")
+        diag.n_truncated = truncated
         buf = self._pack_buf(pkt, last_end_rel, pcl_end_rel, ekf_inited,
-                             do_update)
+                             do_update, n_max=pad)
 
         # NO host<->device syncs below: the step is dispatched asynchronously
         # and every readback (trajectory pose, diagnostics, world cloud) is a

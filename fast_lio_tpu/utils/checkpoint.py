@@ -70,6 +70,73 @@ def load(path, dtype=None):
     return x, P, m, carry, meta
 
 
+def save_pipeline(path, pipe):
+    """Complete pipeline checkpoint: estimator, map, IMU carry, local-map
+    cube, sync statistics, and init bookkeeping — resume is EXACT (round-1
+    review flagged the old partial save, which silently re-centered the
+    local cube and lost mean_scantime)."""
+    import jax
+
+    lm_lo, lm_hi, lm_init = pipe.lm_state
+    meta = {
+        "acc_scale": pipe.acc_scale,
+        "imu_need_init": pipe.imu_need_init,
+        "map_built": pipe.map_built,
+        "first_lidar_time": (np.nan if pipe.first_lidar_time is None
+                             else pipe.first_lidar_time),
+        "last_lidar_end_time": pipe.last_lidar_end_time,
+        "mean_scantime": pipe.sync.mean_scantime,
+        "scan_num": pipe.sync.scan_num,
+        "truncated_points": pipe.truncated_points,
+        "lm_lo": np.asarray(jax.device_get(lm_lo)),
+        "lm_hi": np.asarray(jax.device_get(lm_hi)),
+        "lm_init": bool(jax.device_get(lm_init)),
+        "imu_stats_n": pipe.imu_stats.n,
+        "imu_stats_mean_acc": pipe.imu_stats.mean_acc,
+        "imu_stats_mean_gyr": pipe.imu_stats.mean_gyr,
+        "imu_stats_cov_acc": pipe.imu_stats.cov_acc,
+        "imu_stats_cov_gyr": pipe.imu_stats.cov_gyr,
+    }
+    save(path, pipe.x, pipe.P, pipe.map, pipe.imu_carry, meta=meta)
+
+
+def load_pipeline(path, pipe):
+    """Restore a pipeline saved by save_pipeline (in place)."""
+    import jax.numpy as jnp
+
+    from .. import imu as imu_mod
+
+    x, P, m, carry, meta = load(path, pipe.dtype)
+    pipe.x, pipe.P, pipe.map, pipe.imu_carry = x, P, m, carry
+    if "lm_lo" in meta:  # full checkpoint
+        pipe.lm_state = (
+            jnp.asarray(meta["lm_lo"], pipe.dtype),
+            jnp.asarray(meta["lm_hi"], pipe.dtype),
+            jnp.asarray(bool(meta["lm_init"])),
+        )
+        pipe.acc_scale = float(meta["acc_scale"])
+        pipe.imu_need_init = bool(meta["imu_need_init"])
+        pipe.map_built = bool(meta["map_built"])
+        flt = float(meta["first_lidar_time"])
+        pipe.first_lidar_time = None if np.isnan(flt) else flt
+        pipe.last_lidar_end_time = float(meta["last_lidar_end_time"])
+        pipe.sync.mean_scantime = float(meta["mean_scantime"])
+        pipe.sync.scan_num = int(meta["scan_num"])
+        pipe.truncated_points = int(meta["truncated_points"])
+        pipe.imu_stats = imu_mod.InitStats(
+            n=int(meta["imu_stats_n"]),
+            mean_acc=np.asarray(meta["imu_stats_mean_acc"]),
+            mean_gyr=np.asarray(meta["imu_stats_mean_gyr"]),
+            cov_acc=np.asarray(meta["imu_stats_cov_acc"]),
+            cov_gyr=np.asarray(meta["imu_stats_cov_gyr"]),
+        )
+    else:  # pre-round-2 partial checkpoint: best-effort (documented)
+        pipe.imu_need_init = False
+        pipe.map_built = True
+        pipe.acc_scale = float(meta.get("acc_scale", 1.0))
+    return meta
+
+
 def save_pcd(path, pts: np.ndarray):
     """Minimal binary PCD writer (scans.pcd parity, laserMapping.cpp:1026-1030)."""
     path = Path(path)

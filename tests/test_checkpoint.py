@@ -35,38 +35,72 @@ def feed(pipe, data, k_from, k_to, imu_state):
     imu_state[0] = imu_i
 
 
-def test_checkpoint_resume(tmp_path):
+def test_checkpoint_resume_exact(tmp_path):
+    """A resumed pipeline must track the uninterrupted run EXACTLY: the full
+    checkpoint carries the local-map cube, sync statistics (mean_scantime),
+    IMU init stats and bookkeeping flags (round-1 review: the old partial
+    save silently re-centered the cube on resume)."""
     data = simlib.generate(simlib.SimConfig(duration=3.0))
     cfg = make_cfg()
+
+    # uninterrupted reference run over scans 0..28
+    ref = Pipeline(cfg)
+    s = [0]
+    feed(ref, data, 0, 28, s)
 
     pipe = Pipeline(cfg)
     s = [0]
     feed(pipe, data, 0, 20, s)
     path = tmp_path / "ck.npz"
-    ckpt.save(path, pipe.x, pipe.P, pipe.map, pipe.imu_carry,
-              meta={"acc_scale": pipe.acc_scale,
-                    "last_end": pipe.last_lidar_end_time})
+    ckpt.save_pipeline(path, pipe)
 
     # resume in a FRESH pipeline
     pipe2 = Pipeline(cfg)
-    x, P, m, carry, meta = ckpt.load(path, pipe2.dtype)
-    pipe2.x, pipe2.P, pipe2.map, pipe2.imu_carry = x, P, m, carry
-    pipe2.imu_need_init = False
-    pipe2.map_built = True
-    pipe2.acc_scale = float(meta["acc_scale"])
-    pipe2.last_lidar_end_time = float(meta["last_end"])
-    pipe2.first_lidar_time = 0.0
-    # IMU stream continuity: hand over the tail sample
-    pipe2.sync.last_imu = pipe.sync.last_imu
+    ckpt.load_pipeline(path, pipe2)
 
     # restored state must match bit-for-bit
     np.testing.assert_allclose(
         np.asarray(st.boxminus(pipe2.x, pipe.x)), 0.0, atol=1e-7
     )
     assert int(jax.device_get((pipe2.map.packed == pipe.map.packed).all()))
+    assert pipe2.sync.mean_scantime == pipe.sync.mean_scantime
+    assert pipe2.sync.scan_num == pipe.sync.scan_num
+    assert pipe2.first_lidar_time == pipe.first_lidar_time
+    lm2, lm1 = pipe2.lm_state, pipe.lm_state
+    np.testing.assert_array_equal(np.asarray(lm2[0]), np.asarray(lm1[0]))
+    np.testing.assert_array_equal(np.asarray(lm2[1]), np.asarray(lm1[1]))
 
-    # continue the run
+    # Transport-stream continuity: the checkpoint deliberately carries
+    # estimator state only; in-flight sensor queues (tail IMU sample plus any
+    # samples buffered past the last scan end) belong to the transport and
+    # are handed over by the host — here by adopting the old SyncBuffer.
+    pipe2.sync = pipe.sync
+
+    # continue the run: the resumed trajectory must equal the uninterrupted
+    # one (identical inputs, identical state -> identical math)
     feed(pipe2, data, 20, 28, s)
     assert len(pipe2.trajectory) == 8
+    t_ref = ref.get_trajectory()[-8:]
+    t_res = pipe2.get_trajectory()
+    for (ta, pa, qa), (tb, pb, qb) in zip(t_ref, t_res):
+        assert ta == tb
+        np.testing.assert_allclose(pa, pb, atol=1e-6)
     ate = simlib.ate_rmse(pipe.get_trajectory() + pipe2.get_trajectory(), data)
     assert ate < 0.10, f"resumed ATE too large: {ate}"
+
+
+def test_checkpoint_partial_legacy(tmp_path):
+    """Pre-round-2 checkpoints (estimator+map only) still load."""
+    data = simlib.generate(simlib.SimConfig(duration=2.0))
+    cfg = make_cfg()
+    pipe = Pipeline(cfg)
+    s = [0]
+    feed(pipe, data, 0, 12, s)
+    path = tmp_path / "old.npz"
+    ckpt.save(path, pipe.x, pipe.P, pipe.map, pipe.imu_carry,
+              meta={"acc_scale": pipe.acc_scale})
+    pipe2 = Pipeline(cfg)
+    ckpt.load_pipeline(path, pipe2)
+    assert not pipe2.imu_need_init and pipe2.map_built
+    np.testing.assert_allclose(
+        np.asarray(st.boxminus(pipe2.x, pipe.x)), 0.0, atol=1e-7)
