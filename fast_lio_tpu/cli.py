@@ -47,6 +47,10 @@ def build_parser():
                    help="capture a jax.profiler trace into <out>/trace")
     p.add_argument("--health", action="store_true",
                    help="print an estimator health report at the end")
+    p.add_argument("--stage-timing", action="store_true",
+                   help="honest timing CSV: sync per scan (total time = real "
+                        "per-scan latency) and fill the search/incremental/"
+                        "delete columns from slope-method device timers")
     # the reference's most-used parameter overrides
     p.add_argument("--filter-size-surf", type=float)
     p.add_argument("--filter-size-map", type=float)
@@ -89,6 +93,8 @@ def main(argv=None):
         overrides["feature_extract_enable"] = bool(args.feature_extract_enable)
     if args.runtime_pos_log:
         overrides["runtime_pos_log"] = True
+    if args.stage_timing:
+        overrides["stage_timing"] = True
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
 
@@ -147,12 +153,23 @@ def main(argv=None):
             f.write(f"{t:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
                     f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n")
 
+    # stage columns: zeros when timers are off (the fused step has no
+    # per-frame stage brackets); with --stage-timing they carry slope-method
+    # device timings at the run's shapes, and total_time is real synced
+    # per-scan latency (see utils.stage_timing for methodology)
+    stage = {"search": 0.0, "incremental": 0.0, "delete": 0.0}
+    if cfg.stage_timing and pipe.diags:
+        stage = pipe.measure_stage_times()
+        print(f"stage timers (slope, device): {json.dumps(stage)}")
     tlog = TimingLog()
     for i, d in enumerate(pipe.diags):
         tlog.append(ScanTiming(
             time_stamp=traj[i][0] if i < len(traj) else 0.0,
             total_time=d.total_time,
             scan_point_size=int(d.n_raw),
+            search_time=stage["search"],
+            incremental_time=stage["incremental"],
+            delete_time=stage["delete"],
             tree_size_end=int(d.map_size),
             add_point_size=int(d.n_down),
             preprocess_time=d.preprocess_time,

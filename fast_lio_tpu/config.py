@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 from enum import IntEnum
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -64,7 +64,9 @@ class Config:
 
     # --- filter constants (laserMapping.cpp:63-66,826) ---
     laser_point_cov: float = 0.001
-    epsi: float = 0.001
+    epsi: Tuple[float, ...] = 0.001  # scalar, or a per-component 23-vector
+    # (the reference passes epsi[23] to init_dyn_share, laserMapping.cpp:826-828
+    # — all 0.001 in practice; a tuple here sets per-DOF thresholds)
     init_time: float = 0.1  # EKF grace period, s
     max_ini_count: int = 10  # IMU static-init sample threshold
 
@@ -76,6 +78,12 @@ class Config:
     pcd_save_en: bool = False
     pcd_save_interval: int = -1
     runtime_pos_log: bool = False
+    stage_timing: bool = False  # opt-in honest timing: force a real device
+    # sync per scan so StepDiag.total_time is true per-scan latency (costs
+    # pipelining), and let the CSV writer populate the search/incremental/
+    # delete columns from slope-method device timers (utils.stage_timing)
+    # instead of zeros.  Off = async dispatch (fast), total_time is labeled
+    # dispatch-only.
 
     # --- TPU runtime ---
     knn_backend: str = "auto"  # "auto" | "xla" | "pallas": map kNN engine.
@@ -102,8 +110,10 @@ class Config:
     n_ds_max: int = 8192  # downsampled block pad (the filter's N)
     n_imu_max: int = 64  # IMU samples per scan pad
     map_h_log2: int = 15  # 32768 buckets
-    map_bucket_slots: int = 64  # capacity ~2.1M points; one 4x4x4-voxel cell
-    # worth of slots per bucket (see map.hash_map.make_config)
+    map_bucket_slots: Optional[int] = None  # None = derived: one full cell's
+    # worth of downsample voxels per bucket (cell_multiplier^3 rounded up to
+    # a multiple of 64) — 64 at the default multiplier 4, 128 at the sparse
+    # presets' 5.  Capacity = 2^map_h_log2 * slots (~2.1M points default).
     compute_dtype: str = "float32"
 
     @property
@@ -140,6 +150,13 @@ HORIZON = Config(
     extrinsic_T=(0.05512, 0.02226, -0.0297),
 )
 
+# The spinning-lidar / outdoor presets enable the sparse-regime remedy:
+# storage cell = 5 x map voxel + wide 3x3x3 fallback => guaranteed kNN
+# coverage 2.5 m >= the reference's sqrt(5) m acceptance gate
+# (laserMapping.cpp:671), closing the far-field association gap the
+# fixed-radius hash search otherwise has vs the unbounded ikd-Tree search
+# (tests/test_sparse_regime.py proves recall 1.0 vs the brute-force gate).
+
 MID360 = Config(
     lidar_type=LidarType.AVIA,
     n_scans=4,
@@ -148,6 +165,8 @@ MID360 = Config(
     det_range=100.0,
     fov_degree=360.0,
     extrinsic_T=(-0.011, -0.02329, 0.04412),
+    map_cell_multiplier=5,
+    knn_wide_fallback=True,
 )
 
 OUSTER64 = Config(
@@ -159,6 +178,8 @@ OUSTER64 = Config(
     det_range=150.0,
     fov_degree=180.0,
     extrinsic_T=(0.0, 0.0, 0.0),
+    map_cell_multiplier=5,
+    knn_wide_fallback=True,
 )
 
 VELODYNE = Config(
@@ -172,6 +193,8 @@ VELODYNE = Config(
     fov_degree=180.0,
     filter_size_surf=0.5,
     filter_size_map=0.5,
+    map_cell_multiplier=5,
+    knn_wide_fallback=True,
 )
 
 MARSIM = Config(

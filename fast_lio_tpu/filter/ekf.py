@@ -255,6 +255,9 @@ def update_iterated(
 
 def _update_iterated_impl(x, P, h_fn, carry0, R, max_iter, epsi, axis_name):
     dtype = P.dtype
+    # epsi: scalar or per-component vector (the reference's epsi[23],
+    # laserMapping.cpp:826-828); broadcast against dx_ either way
+    epsi = jnp.asarray(epsi, dtype)
     x_prop = x
     P_prop = P
     n = st.DOF

@@ -377,7 +377,8 @@ def replay_into_pipeline(bag_path, pipeline, lidar_topic, imu_topic,
             )
         else:
             scan = decode(msg, cfg)
-            pipeline.push_lidar(msg["stamp"], scan.pts, scan.time_offset_s)
+            pipeline.push_lidar(msg["stamp"], scan.pts, scan.time_offset_s,
+                                scan.intensity)
             n_scans += 1
             if max_scans and n_scans >= max_scans:
                 break

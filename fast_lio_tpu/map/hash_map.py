@@ -74,10 +74,17 @@ def make_config(voxel_size: float, h_log2: int = 14,
                 cell_multiplier: int = 4) -> MapConfig:
     """Canonical config: storage cell = cell_multiplier x map voxel (nesting
     guaranteed; 2x2x2-region kNN coverage radius = cell_multiplier/2 voxels).
-    Default slot count covers a full cell's worth of downsample voxels."""
+    Default slot count covers a full cell's worth of downsample voxels —
+    cell_multiplier^3 rounded up to a multiple of 64 (the lane width), so a
+    fully downsample-populated cell never overflows its bucket.  At the
+    default multiplier 4 that is 64 slots; the sparse preset's multiplier 5
+    (125 voxels/cell) gets 128 — without this, dense near-field cells
+    systematically drop points (round-3 outdoor e2e diagnosis)."""
+    if bucket_slots is None:
+        bucket_slots = max(64, -(-cell_multiplier**3 // 64) * 64)
     return MapConfig(
         h_log2=h_log2,
-        bucket_slots=64 if bucket_slots is None else bucket_slots,
+        bucket_slots=bucket_slots,
         cell_size=float(cell_multiplier) * voxel_size,
         voxel_size=voxel_size,
     )
@@ -172,15 +179,20 @@ def _bucket_of(cell: jnp.ndarray, h_log2: int) -> jnp.ndarray:
 # kNN search
 # --------------------------------------------------------------------------
 
-_NEIGHBOR_OFFSETS = jnp.array(
+# numpy (not jnp) so importing this module never initializes the XLA backend
+# — jax.distributed.initialize must run before ANY backend touch, and the
+# multi-process bring-up imports the package first (tests/test_distributed.py)
+import numpy as _np
+
+_NEIGHBOR_OFFSETS = _np.array(
     [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
-    dtype=jnp.int32,
+    dtype=_np.int32,
 )  # (8, 3) — the 2x2x2 region above the round-to-corner base cell
 
-_WIDE_OFFSETS = jnp.array(
+_WIDE_OFFSETS = _np.array(
     [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
      for dz in (-1, 0, 1)],
-    dtype=jnp.int32,
+    dtype=_np.int32,
 )  # (27, 3) — centered 3x3x3 region (wide / sparse-regime mode)
 
 

@@ -22,11 +22,14 @@ def voxel_downsample(
     mask: jnp.ndarray,  # (N,) bool
     leaf: float,
     n_out: int,
+    feats: jnp.ndarray = None,  # optional (N,) extra channel (intensity)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (centroids (n_out, 3), out_mask (n_out,)).
+    """Returns (centroids (n_out, 3), out_mask (n_out,)[, feats (n_out,)]).
 
     Voxels beyond n_out are dropped (count them upstream if needed); masked
-    inputs never contribute.
+    inputs never contribute.  ``feats`` is voxel-averaged alongside the
+    positions — PCL VoxelGrid's downsample_all_data behavior, which the
+    reference relies on to carry intensity through its input filter.
     """
     N = pts.shape[0]
     cell = jnp.floor(pts / leaf).astype(jnp.int32)
@@ -52,10 +55,15 @@ def voxel_downsample(
     seg_id = jnp.where(live_s, jnp.minimum(seg_id, n_out), n_out)
 
     w = live_s.astype(pts.dtype)
-    sums = jax.ops.segment_sum(pts_s * w[:, None], seg_id, num_segments=n_out + 1)
+    cols = pts_s if feats is None else jnp.concatenate(
+        [pts_s, feats[order][:, None]], axis=-1
+    )
+    sums = jax.ops.segment_sum(cols * w[:, None], seg_id, num_segments=n_out + 1)
     cnts = jax.ops.segment_sum(w, seg_id, num_segments=n_out + 1)
     sums, cnts = sums[:n_out], cnts[:n_out]
 
     out_mask = cnts > 0
-    centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
-    return centroids, out_mask
+    means = sums / jnp.maximum(cnts, 1.0)[:, None]
+    if feats is None:
+        return means, out_mask
+    return means[:, :3], out_mask, means[:, 3]

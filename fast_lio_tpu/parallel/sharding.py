@@ -79,20 +79,69 @@ def _owner_of(cell: jnp.ndarray, lcfg: hm.MapConfig, n: int) -> jnp.ndarray:
     return (jnp.right_shift(h, lcfg.h_log2) % jnp.uint32(n)).astype(jnp.int32)
 
 
-def _merged_knn(m_local: hm.Map, lcfg: hm.MapConfig, queries, k):
-    """Local shard search + all-gather + re-top-k (exact global kNN)."""
-    nbrs, sq, found = hm.knn_search(m_local, lcfg, queries, k)
-    # (n, N, k, ...) across the axis
-    all_nbrs = jax.lax.all_gather(nbrs, AXIS)
+def _local_search_fn(cfg: Config, lcfg: hm.MapConfig, m_local: hm.Map):
+    """Per-shard kNN kernel with the same backend selection as the
+    single-device path (pipeline.use_pallas_knn) applied to the LOCAL table."""
+    from ..pipeline import use_pallas_knn
+
+    if use_pallas_knn(cfg, lcfg):
+        from ..map import knn_pallas as kp
+
+        return partial(kp.knn_search_pallas, m_local, lcfg)
+    return partial(hm.knn_search, m_local, lcfg)
+
+
+def _merge(nbrs, sq, k):
+    """all-gather per-shard top-k + re-top-k (exact global kNN: the union of
+    per-shard k-NN contains the global k-NN)."""
+    all_nbrs = jax.lax.all_gather(nbrs, AXIS)  # (n, N, k, 3)
     all_sq = jax.lax.all_gather(sq, AXIS)
-    n = all_sq.shape[0]
-    N = queries.shape[0]
+    n, N = all_sq.shape[0], all_sq.shape[1]
     all_nbrs = jnp.moveaxis(all_nbrs, 0, 1).reshape(N, n * k, 3)
     all_sq = jnp.moveaxis(all_sq, 0, 1).reshape(N, n * k)
-    neg_top, idx = jax.lax.top_k(-all_sq, k)
+    neg_top, idx = jax.lax.top_k(-jnp.where(jnp.isfinite(all_sq), all_sq,
+                                            jnp.inf), k)
     sq_m = -neg_top
     nbrs_m = jnp.take_along_axis(all_nbrs, idx[..., None], axis=1)
     return nbrs_m, sq_m, jnp.isfinite(sq_m)
+
+
+def _merged_knn(m_local: hm.Map, lcfg: hm.MapConfig, queries, k,
+                cfg: Config = None, mask=None):
+    """Shard-merged exact global kNN, with the single-device feature set:
+    backend selection and the adaptive wide-region fallback
+    (Config.knn_wide_fallback; see pipeline.make_knn_fn for semantics).
+
+    The wide re-search is gated per scan like the single-device path, but the
+    local 27-cell gather runs under lax.cond while the all-gather runs
+    UNCONDITIONALLY on its (possibly dummy) result — collectives must not sit
+    inside a conditional under shard_map, and the gather of a (N, k) block is
+    noise next to the map-row gathers it saves."""
+    base = _local_search_fn(cfg, lcfg, m_local) if cfg is not None \
+        else partial(hm.knn_search, m_local, lcfg)
+    nbrs, sq, found = base(queries, k)
+    nbrs_m, sq_m, found_m = _merge(nbrs, sq, k)
+    if cfg is None or not cfg.knn_wide_fallback:
+        return nbrs_m, sq_m, found_m
+
+    rcov2 = (0.5 * lcfg.cell_size) ** 2
+    unsat = jnp.logical_or(jnp.logical_not(found_m[:, -1]),
+                           sq_m[:, -1] > rcov2)
+    if mask is not None:
+        unsat = jnp.logical_and(unsat, mask)
+    need = jnp.any(unsat)
+    # every device computes the same `need` (merged results are replicated
+    # by construction), so the cond branches stay in lockstep
+    nbrs_w, sq_w = jax.lax.cond(
+        need,
+        lambda _: base(queries, k, wide=True)[:2],
+        lambda _: (nbrs, sq),
+        operand=None,
+    )
+    nbrs_wm, sq_wm, found_wm = _merge(nbrs_w, sq_w, k)
+    pick = lambda a, b: jnp.where(need, a, b)
+    return (pick(nbrs_wm, nbrs_m), pick(sq_wm, sq_m),
+            pick(found_wm, found_m))
 
 
 def sharded_lio_step(
@@ -114,6 +163,7 @@ def sharded_lio_step(
     pts,
     pt_time,
     pt_mask,
+    pt_intensity,
     lm_lo,
     lm_hi,
     lm_init,
@@ -135,15 +185,24 @@ def sharded_lio_step(
         last_end_rel, pcl_end_rel, imu_carry, pts, pt_time, deskew=deskew,
     )
     pos_lid = x.pos + so3.quat_rotate(x.rot, x.offset_T_L_I)
-    lm_lo, lm_hi, lm_init = fov_segment(cfg, pos_lid, lm_lo, lm_hi, lm_init)
-    m_local = hm.prune_outside(m_local, lm_lo, lm_hi)
-    pts_ds, ds_mask = voxel_downsample(
-        pts_d, pt_mask, cfg.filter_size_surf, N
+    new_lo, new_hi, lm_init2 = fov_segment(cfg, pos_lid, lm_lo, lm_hi, lm_init)
+    # prune only when the cube moved (matches pipeline.lio_step; the
+    # reference's lazy Delete_Point_Boxes also only fires on movement)
+    moved = jnp.logical_or(jnp.any(new_lo != lm_lo), jnp.logical_not(lm_init))
+    lm_lo, lm_hi, lm_init = new_lo, new_hi, lm_init2
+    m_local = jax.lax.cond(
+        moved, lambda mm: hm.prune_outside(mm, lm_lo, lm_hi), lambda mm: mm,
+        m_local,
+    )
+    pts_ds, ds_mask, int_ds = voxel_downsample(
+        pts_d, pt_mask, cfg.filter_size_surf, N, feats=pt_intensity
     )
 
     # 4: update with shard-merged kNN + sliced rows + psum'd reductions
     cache0 = meas.empty_cache(N, pts_ds.dtype)
-    knn_fn = lambda q, mask: _merged_knn(m_local, lcfg, q, meas.NUM_MATCH)
+    knn_fn = lambda q, mask: _merged_knn(
+        m_local, lcfg, q, meas.NUM_MATCH, cfg=cfg, mask=mask
+    )
     slice_mask = (jnp.arange(N) % n_devices) == my
 
     def h_fn(x_i, converge, cache):
@@ -171,6 +230,10 @@ def sharded_lio_step(
         x, P_, cache, iters = jax.lax.cond(
             do_update, run_update, skip_update, operand=None
         )
+    # selected is computed from replicated inputs, so the count is already
+    # the GLOBAL effective-point count on every device (the per-device row
+    # slicing happens downstream of `selected`, in compute_measurement's
+    # row_mask) — no psum needed, and one would overcount n-fold.
     n_eff = jnp.sum(cache.selected)
 
     # 5: owner-routed insert
@@ -191,8 +254,9 @@ def sharded_lio_step(
         iters=iters,
         map_size=jax.lax.psum(hm.map_size(m_local), AXIS),
     )
-    clouds = dict(world=pts_world, world_mask=ds_mask, body=pts_d,
-                  body_mask=pt_mask, effect_mask=cache.selected)
+    clouds = dict(world=pts_world, world_mask=ds_mask,
+                  world_intensity=int_ds, body=pts_d, body_mask=pt_mask,
+                  body_intensity=pt_intensity, effect_mask=cache.selected)
     return (x, P_, m_local, imu_carry, (lm_lo, lm_hi, lm_init), clouds, diag)
 
 
@@ -213,11 +277,12 @@ def wrap_sharded_step(cfg: Config, map_cfg: hm.MapConfig, mesh: Mesh,
         x_spec, rep, map_specs, carry_spec, rep,  # x, P, map, imu_carry, Q
         rep, rep, rep, rep,  # imu block
         rep, rep, rep,  # scalars
-        rep, rep, rep,  # scan block
+        rep, rep, rep, rep,  # scan block (pts, t, mask, intensity)
         rep, rep, rep, rep,  # lm_lo, lm_hi, lm_init, ekf_inited
     )
     diag_spec = dict(n_down=rep, n_eff=rep, iters=rep, map_size=rep)
-    clouds_spec = dict(world=rep, world_mask=rep, body=rep, body_mask=rep,
+    clouds_spec = dict(world=rep, world_mask=rep, world_intensity=rep,
+                       body=rep, body_mask=rep, body_intensity=rep,
                        effect_mask=rep)
     out_specs = (x_spec, rep, map_specs, carry_spec, (rep, rep, rep),
                  clouds_spec, diag_spec)
@@ -239,10 +304,13 @@ def make_sharded_step(cfg: Config, map_cfg: hm.MapConfig, mesh: Mesh):
 
 
 def dryrun(devices: Sequence) -> None:
-    """Build an n-device mesh, jit the full sharded step, run one step on
-    tiny shapes (the driver validates multi-chip sharding with virtual CPU
-    devices through this)."""
+    """Build an n-device mesh, jit the full sharded step, run two chained
+    steps on tiny shapes, and check the result NUMERICALLY against the
+    single-device step on the same inputs (the driver validates multi-chip
+    sharding with virtual CPU devices through this)."""
     import __graft_entry__ as ge  # reuse the example-input builder
+
+    from ..pipeline import lio_step
 
     n = len(devices)
     mesh = Mesh(np.asarray(devices), (AXIS,))
@@ -254,6 +322,9 @@ def dryrun(devices: Sequence) -> None:
         n_imu_max=8,
         map_h_log2=10,
         map_bucket_slots=8,
+        det_range=40.0,
+        cube_side_length=300.0,
+        knn_wide_fallback=True,  # exercise the full sharded feature set
     )
     map_cfg = hm.make_config(
         voxel_size=cfg.filter_size_map,
@@ -262,17 +333,45 @@ def dryrun(devices: Sequence) -> None:
     )
     dtype = jnp.float32
     args = list(ge._example_inputs(cfg, map_cfg, dtype))
+    m_single = args[2]
     args[2] = make_sharded_map(map_cfg, mesh, dtype)
 
     step = make_sharded_step(cfg, map_cfg, mesh)
     out = step(*args)
     jax.block_until_ready(out)
     # run a second step feeding the outputs back (exercises donation + the
-    # populated-map path)
+    # populated-map path: the update genuinely runs against the seeded map)
     args2 = list(args)
     args2[0], args2[1], args2[2], args2[3] = out[0], out[1], out[2], out[3]
-    args2[15], args2[16], args2[17] = out[4]  # local-map cube state
+    args2[16], args2[17], args2[18] = out[4]  # local-map cube state
     out2 = step(*args2)
     jax.block_until_ready(out2)
-    print(f"dryrun_multichip OK on {n} devices: map_size="
-          f"{int(out2[6]['map_size'])}")
+
+    # ---- single-device reference: same two steps, same inputs ----
+    from .. import state as st
+
+    sstep = jax.jit(lambda *a: lio_step(cfg, map_cfg, *a, do_update=True))
+    sargs = list(args)
+    sargs[2] = m_single
+    sout = sstep(*sargs)
+    sargs2 = list(sargs)
+    sargs2[0], sargs2[1], sargs2[2], sargs2[3] = (sout[0], sout[1], sout[2],
+                                                  sout[3])
+    sargs2[16], sargs2[17], sargs2[18] = sout[4]
+    sout2 = sstep(*sargs2)
+
+    # f32 + reassociated psum reductions: the iterates differ at roundoff,
+    # which can flip a handful of voxel-boundary insert/gate decisions —
+    # near-equality here is the f32 exactness bound; the bit-tight f64
+    # equivalence proof lives in tests/test_sharding.py
+    size_m, size_s = int(out2[6]["map_size"]), int(sout2[6]["map_size"])
+    assert abs(size_m - size_s) <= max(8, size_s // 100), \
+        f"map size diverged: {size_m} vs {size_s}"
+    neff_m, neff_s = int(out2[6]["n_eff"]), int(sout2[6]["n_eff"])
+    assert neff_s > 0, "dry run never exercised the update path"
+    assert abs(neff_m - neff_s) <= max(8, neff_s // 100), \
+        f"n_eff diverged: {neff_m} vs {neff_s}"
+    dx = np.abs(np.asarray(st.boxminus(out2[0], sout2[0])))
+    assert dx.max() < 5e-3, f"state diverged from single-device: |dx|={dx.max()}"
+    print(f"dryrun_multichip OK on {n} devices: map_size={size_m}/{size_s}, "
+          f"n_eff={neff_m}/{neff_s}, max|x_sharded - x_single|={dx.max():.2e}")

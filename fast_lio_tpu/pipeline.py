@@ -109,6 +109,8 @@ class ScanPacket:
     imu_t: np.ndarray  # (m,) absolute seconds
     imu_acc: np.ndarray  # (m, 3)
     imu_gyr: np.ndarray  # (m, 3)
+    intensity: Optional[np.ndarray] = None  # (n,) f32 (reference carries it
+    # in PointType.intensity through to the published clouds)
 
 
 class SyncBuffer:
@@ -131,7 +133,8 @@ class SyncBuffer:
         self.timediff_lidar_wrt_imu = 0.0
         self.timediff_set = False
 
-    def push_lidar(self, stamp: float, pts: np.ndarray, pt_time: np.ndarray):
+    def push_lidar(self, stamp: float, pts: np.ndarray, pt_time: np.ndarray,
+                   intensity: Optional[np.ndarray] = None):
         if stamp < self.last_timestamp_lidar:  # loop-back clear (:284-288)
             self.lidar_buf.clear()
         self.last_timestamp_lidar = stamp
@@ -141,7 +144,7 @@ class SyncBuffer:
             # one-shot clock-offset estimate (laserMapping.cpp:319-324)
             self.timediff_set = True
             self.timediff_lidar_wrt_imu = stamp + 0.1 - self.last_timestamp_imu
-        self.lidar_buf.append((stamp, pts, pt_time))
+        self.lidar_buf.append((stamp, pts, pt_time, intensity))
 
     def push_imu(self, t: float, acc: np.ndarray, gyr: np.ndarray):
         t = t - self.cfg.time_offset_lidar_to_imu
@@ -159,7 +162,7 @@ class SyncBuffer:
     def pop_packet(self) -> Optional[ScanPacket]:
         if not self.lidar_buf or not self.imu_t:
             return None
-        stamp, pts, pt_time = self.lidar_buf[0]
+        stamp, pts, pt_time, intensity = self.lidar_buf[0]
         if len(pts) <= 1:
             end = stamp + self.mean_scantime
         elif pt_time[-1] < 0.5 * self.mean_scantime:
@@ -197,6 +200,7 @@ class SyncBuffer:
             imu_t=np.asarray(sel_t),
             imu_acc=np.stack(sel_a) if sel_a else np.zeros((0, 3)),
             imu_gyr=np.stack(sel_g) if sel_g else np.zeros((0, 3)),
+            intensity=intensity,
         )
 
 
@@ -263,6 +267,7 @@ def lio_step(
     pts,
     pt_time,
     pt_mask,
+    pt_intensity,
     lm_lo,
     lm_hi,
     lm_init,
@@ -301,9 +306,10 @@ def lio_step(
         moved, lambda mm: hm.prune_outside(mm, lm_lo, lm_hi), lambda mm: mm, m
     )
 
-    # 3. input voxel downsample (PCL VoxelGrid analog)
-    pts_ds, ds_mask = voxel_downsample(
-        pts_d, pt_mask, cfg.filter_size_surf, cfg.n_ds_max
+    # 3. input voxel downsample (PCL VoxelGrid analog; intensity is voxel-
+    # averaged alongside like PCL's downsample_all_data)
+    pts_ds, ds_mask, int_ds = voxel_downsample(
+        pts_d, pt_mask, cfg.filter_size_surf, cfg.n_ds_max, feats=pt_intensity
     )
 
     # 4. iterated point-to-plane update (hot loops #2-#4)
@@ -350,7 +356,9 @@ def lio_step(
     )
     clouds = dict(
         world=pts_world, world_mask=ds_mask,  # /cloud_registered (downsampled)
+        world_intensity=int_ds,
         body=pts_d, body_mask=pt_mask,  # /cloud_registered_body (dense)
+        body_intensity=pt_intensity,
         effect_mask=cache.selected,  # /cloud_effected (world[effect_mask])
     )
     return x, P, m, imu_carry, (lm_lo, lm_hi, lm_init), clouds, diag
@@ -366,6 +374,13 @@ class Pipeline:
     """
 
     def __init__(self, cfg: Config, mesh=None):
+        if mesh is not None and cfg.rescore_research:
+            # candidate blocks are per-shard; re-ranking them cross-device
+            # would need an (N, C, 3) all-gather per iteration.  Explicitly
+            # unsupported rather than silently divergent.
+            raise NotImplementedError(
+                "rescore_research is not supported with a sharded map; "
+                "use the default re-search mode")
         self.cfg = cfg
         self.mesh = mesh
         self.dtype = jnp.dtype(cfg.compute_dtype)
@@ -383,12 +398,22 @@ class Pipeline:
         self.Q = process.process_noise_cov(
             cfg.gyr_cov, cfg.acc_cov, cfg.b_gyr_cov, cfg.b_acc_cov, self.dtype
         )
+        self._rep_sharding = None
         if mesh is None:
             self.map = hm.make_map(self.map_cfg, self.dtype)
         else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
             from .parallel import sharding as shd
 
             self.map = shd.make_sharded_map(self.map_cfg, mesh, self.dtype)
+            # replicate the estimator state over the mesh explicitly — under
+            # multi-process jax.distributed, single-device-committed inputs
+            # to a global-mesh jit are invalid; every process holds the same
+            # values, so a replicated device_put is both legal and exact
+            self._rep_sharding = NamedSharding(mesh, PartitionSpec())
+            rep = lambda t: jax.device_put(t, self._rep_sharding)
+            self.x, self.P, self.Q = rep(self.x), rep(self.P), rep(self.Q)
         self.imu_carry = imu_mod.init_imu_carry(self.dtype)
 
         # local-map cube state lives on device (no per-scan host sync)
@@ -397,6 +422,9 @@ class Pipeline:
             jnp.zeros(3, self.dtype),
             jnp.asarray(False),
         )
+        if self._rep_sharding is not None:
+            self.imu_carry = jax.device_put(self.imu_carry, self._rep_sharding)
+            self.lm_state = jax.device_put(self.lm_state, self._rep_sharding)
 
         # scan-size pad buckets (one compile each, persistent-cached)
         self.pad_buckets = tuple(sorted(set(
@@ -441,10 +469,10 @@ class Pipeline:
 
         # Packed calling convention: the tunnel backend charges ~0.4 ms per
         # host->device dispatch, so the per-scan inputs travel as ONE flat
-        # f32 buffer — [scalars (8) | imu (M,7: t+acc+gyr) | scan (N,4:
-        # xyz+t)] — and the masks are rebuilt on device from the counts.
-        # The scan pad N is a per-call shape: process_packet buckets each
-        # scan to the smallest pad in Config.pad_buckets that fits (one
+        # f32 buffer — [scalars (8) | imu (M,7: t+acc+gyr) | scan (N,5:
+        # xyz+t+intensity)] — and the masks are rebuilt on device from the
+        # counts.  The scan pad N is a per-call shape: process_packet buckets
+        # each scan to the smallest pad in Config.pad_buckets that fits (one
         # compile per bucket, persistent-cached), so small scans cost
         # proportionally less and big scans are not silently clipped.
         sharded = self.mesh is not None
@@ -453,8 +481,8 @@ class Pipeline:
         def packed(x, P, m, imu_carry, Q, buf, lm_lo, lm_hi, lm_init):
             scalars = buf[:8]
             imu = buf[8:8 + M * 7].reshape(M, 7)
-            N = (buf.shape[0] - 8 - M * 7) // 4
-            scan = buf[8 + M * 7:].reshape(N, 4)
+            N = (buf.shape[0] - 8 - M * 7) // 5
+            scan = buf[8 + M * 7:].reshape(N, 5)
             n_pts = scalars[3].astype(jnp.int32)
             n_imu = scalars[4].astype(jnp.int32)
             pt_mask = jnp.arange(N) < n_pts
@@ -464,7 +492,7 @@ class Pipeline:
                 x, P, m, imu_carry, Q,
                 imu_t, imu[:, 1:4], imu[:, 4:7], imu_mask,
                 scalars[0], scalars[1], scalars[2],
-                scan[:, :3], scan[:, 3], pt_mask,
+                scan[:, :3], scan[:, 3], pt_mask, scan[:, 4],
                 lm_lo, lm_hi, lm_init,
                 scalars[5] > 0.5,
             )
@@ -510,12 +538,21 @@ class Pipeline:
             "p_min_eig": float(eig.min()) if eig is not None else float("nan"),
             "p_max_eig": float(eig.max()) if eig is not None else float("nan"),
             "map_size": int(jax.device_get(hm.map_size(self.map))),
-            "map_dropped": int(np.asarray(jax.device_get(self.map.dropped)).sum()),
+            "map_dropped": int(jax.device_get(jnp.sum(self.map.dropped))),
             "truncated_points": self.truncated_points,
             "scans": len(self.trajectory),
             "imu_initialized": not self.imu_need_init,
             "map_built": self.map_built,
         }
+
+    def measure_stage_times(self) -> dict:
+        """Slope-method device timings of the search / incremental / delete
+        stage groups at this pipeline's shapes against its live map — the
+        honest sources for the reference-schema timing CSV columns (see
+        utils.stage_timing for methodology)."""
+        from .utils.stage_timing import measure_stage_times
+
+        return measure_stage_times(self)
 
     def pose_covariance(self) -> np.ndarray:
         """6x6 pose covariance, rotation block first — the reference's
@@ -529,8 +566,8 @@ class Pipeline:
         out[3:, :3] = P[0:3, 3:6]
         return out
 
-    def push_lidar(self, stamp, pts, pt_time):
-        self.sync.push_lidar(float(stamp), pts, pt_time)
+    def push_lidar(self, stamp, pts, pt_time, intensity=None):
+        self.sync.push_lidar(float(stamp), pts, pt_time, intensity)
 
     def push_imu(self, t, acc, gyr):
         self.sync.push_imu(float(t), acc, gyr)
@@ -545,13 +582,13 @@ class Pipeline:
 
     def _pack_buf(self, pkt: ScanPacket, last_end_rel, pcl_end_rel,
                   ekf_inited, do_update, n_max=None):
-        """One flat f32 feed buffer: [scalars(8) | imu(M,7) | scan(N,4)]."""
+        """One flat f32 feed buffer: [scalars(8) | imu(M,7) | scan(N,5)]."""
         if n_max is None:
             n_max = self.cfg.n_points_max
         m_max = self.cfg.n_imu_max
         n = min(len(pkt.pts), n_max)
         m = min(len(pkt.imu_t), m_max)
-        buf = np.zeros(8 + m_max * 7 + n_max * 4, np.float32)
+        buf = np.zeros(8 + m_max * 7 + n_max * 5, np.float32)
         buf[0:8] = (self.acc_scale, last_end_rel, pcl_end_rel, n, m,
                     1.0 if ekf_inited else 0.0, 1.0 if do_update else 0.0,
                     0.0)
@@ -559,9 +596,11 @@ class Pipeline:
         imu[:m, 0] = pkt.imu_t[:m] - pkt.lidar_beg_time
         imu[:m, 1:4] = pkt.imu_acc[:m]
         imu[:m, 4:7] = pkt.imu_gyr[:m]
-        scan = buf[8 + m_max * 7:].reshape(n_max, 4)
+        scan = buf[8 + m_max * 7:].reshape(n_max, 5)
         scan[:n, :3] = pkt.pts[:n]
         scan[:n, 3] = pkt.pt_time[:n]
+        if pkt.intensity is not None:
+            scan[:n, 4] = pkt.intensity[:n]
         return buf
 
     def process_packet(self, pkt: ScanPacket):
@@ -616,10 +655,12 @@ class Pipeline:
         # NO host<->device syncs below: the step is dispatched asynchronously
         # and every readback (trajectory pose, diagnostics, world cloud) is a
         # lazy device-array handle materialized on demand.
+        dev_buf = (jnp.asarray(buf) if self._rep_sharding is None
+                   else jax.device_put(buf, self._rep_sharding))
         (self.x, self.P, self.map, self.imu_carry, self.lm_state, clouds, d
          ) = self._step_fn(
             self.x, self.P, self.map, self.imu_carry, self.Q,
-            jnp.asarray(buf), *self.lm_state,
+            dev_buf, *self.lm_state,
         )
         if not self.map_built:
             # one-time sync during startup: did the first scan seed the map?
@@ -630,13 +671,21 @@ class Pipeline:
         # /cloud_registered and /cloud_registered_body analogs)
         self.last_pts_world = clouds["world"]
         self.last_pts_world_mask = clouds["world_mask"]
+        self.last_pts_world_intensity = clouds["world_intensity"]
         self.last_pts_body = clouds["body"]
         self.last_pts_body_mask = clouds["body_mask"]
+        self.last_pts_body_intensity = clouds["body_intensity"]
 
         diag.n_effective = d["n_eff"]
         diag.iterations = d["iters"]
         diag.n_down = d["n_down"]
         diag.map_size = d["map_size"]
+        if cfg.stage_timing:
+            # real per-scan latency: force a readback that data-depends on
+            # the step's outputs (block_until_ready lies on the tunnel
+            # backend); costs the pipelining this mode explicitly trades away
+            float(np.asarray(jax.device_get(self.x.pos))[0])
+            int(jax.device_get(d["map_size"]))
         diag.total_time = time.perf_counter() - t0
         self.diags.append(diag)
         self.trajectory.append((pkt.lidar_end_time, self.x.pos, self.x.rot))

@@ -156,28 +156,70 @@ def decode_marsim(xyz: np.ndarray, intensity: np.ndarray, cfg: Config) -> RawSca
     )
 
 
-def decode(msg: dict, cfg: Config) -> RawScan:
+def _native_decode(msg: dict, cfg: Config):
+    """Native-library fast path (native/lio_host.cpp) for the branchy
+    per-point decode loops; semantics identical to the numpy decoders above
+    (tests/test_native.py asserts bit-exact parity).  Returns None when the
+    shared library is unavailable or the sensor needs the numpy path
+    (Velodyne azimuth-unwrap time reconstruction)."""
+    from .. import native
+
+    if not native.available():
+        return None
+    lt = cfg.lidar_type
+    if lt == LidarType.AVIA:
+        pts, t_s, inten = native.decode_avia(
+            msg["xyz"], msg["reflectivity"], msg["offset_time_ns"],
+            msg["tag"], msg["line"], cfg.n_scans, cfg.blind,
+            cfg.point_filter_num,
+        )
+    elif lt == LidarType.OUST64:
+        pts, t_s, inten = native.decode_generic(
+            msg["xyz"], msg["intensity"], np.asarray(msg["t"], np.float64),
+            cfg.blind, cfg.point_filter_num, cfg.time_unit.to_ms * 1e-3,
+        )
+    elif lt == LidarType.MARSIM:
+        # sim_handler has no decimation (preprocess.cpp:458-481)
+        pts, t_s, inten = native.decode_generic(
+            msg["xyz"], msg["intensity"],
+            np.zeros(len(msg["xyz"]), np.float64),
+            cfg.blind, 1, 0.0,
+        )
+    else:  # Velodyne: per-ring azimuth unwrap stays in numpy
+        return None
+    return RawScan(pts=pts, time_offset_s=t_s, intensity=inten)
+
+
+def decode(msg: dict, cfg: Config, use_native: bool = None) -> RawScan:
     """Dispatch on cfg.lidar_type (Preprocess::process, preprocess.cpp:44-90).
 
     ``msg`` is a dict of named numpy arrays as produced by
-    fast_lio_tpu.io.rosbag or any custom feeder.
+    fast_lio_tpu.io.rosbag or any custom feeder.  ``use_native``: None = use
+    the native decoder when the shared library is available (set env
+    FAST_LIO_NATIVE=0 to force numpy), True = require it, False = numpy.
     """
+    import os
+
+    if use_native is None:
+        use_native = os.environ.get("FAST_LIO_NATIVE", "1") != "0"
     lt = cfg.lidar_type
-    if lt == LidarType.AVIA:
-        scan = decode_avia(
-            msg["xyz"], msg["reflectivity"], msg["offset_time_ns"],
-            msg["tag"], msg["line"], cfg,
-        )
-    elif lt == LidarType.OUST64:
-        scan = decode_ouster(msg["xyz"], msg["intensity"], msg["t"], cfg)
-    elif lt == LidarType.VELO16:
-        scan = decode_velodyne(
-            msg["xyz"], msg["intensity"], msg["time"], msg["ring"], cfg
-        )
-    elif lt == LidarType.MARSIM:
-        scan = decode_marsim(msg["xyz"], msg["intensity"], cfg)
-    else:
-        raise ValueError(f"unknown lidar_type {lt}")
+    scan = _native_decode(msg, cfg) if use_native else None
+    if scan is None:
+        if lt == LidarType.AVIA:
+            scan = decode_avia(
+                msg["xyz"], msg["reflectivity"], msg["offset_time_ns"],
+                msg["tag"], msg["line"], cfg,
+            )
+        elif lt == LidarType.OUST64:
+            scan = decode_ouster(msg["xyz"], msg["intensity"], msg["t"], cfg)
+        elif lt == LidarType.VELO16:
+            scan = decode_velodyne(
+                msg["xyz"], msg["intensity"], msg["time"], msg["ring"], cfg
+            )
+        elif lt == LidarType.MARSIM:
+            scan = decode_marsim(msg["xyz"], msg["intensity"], cfg)
+        else:
+            raise ValueError(f"unknown lidar_type {lt}")
     if cfg.feature_extract_enable:
         from .features import extract_surfaces
 

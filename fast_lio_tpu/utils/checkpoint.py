@@ -17,10 +17,21 @@ from .. import state as st
 from ..map import hash_map as hm
 
 
-def save(path, x: st.State, P, m: hm.Map, imu_carry: imu_mod.ImuCarry,
-         meta: dict = None):
+def _to_host(v):
+    """device_get that also handles multi-process sharded arrays: a map shard
+    owned by another process is not addressable here, so the global array is
+    materialized with an allgather over the job first."""
     import jax
 
+    if isinstance(v, jax.Array) and not v.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(v, tiled=True))
+    return np.asarray(jax.device_get(v))
+
+
+def save(path, x: st.State, P, m: hm.Map, imu_carry: imu_mod.ImuCarry,
+         meta: dict = None):
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     arrs = {
@@ -31,7 +42,7 @@ def save(path, x: st.State, P, m: hm.Map, imu_carry: imu_mod.ImuCarry,
         "angvel_last": imu_carry.angvel_last,
         "acc_s_last": imu_carry.acc_s_last,
     }
-    arrs = {k: np.asarray(jax.device_get(v)) for k, v in arrs.items()}
+    arrs = {k: _to_host(v) for k, v in arrs.items()}
     if meta:
         for k, v in meta.items():
             arrs[f"meta_{k}"] = np.asarray(v)
@@ -87,6 +98,14 @@ def save_pipeline(path, pipe):
         "last_lidar_end_time": pipe.last_lidar_end_time,
         "mean_scantime": pipe.sync.mean_scantime,
         "scan_num": pipe.sync.scan_num,
+        # tail IMU sample prepended to the next packet (v_imu.push_front
+        # analog) — without it the first post-resume IMU chain differs
+        "sync_last_imu": (np.full(7, np.nan) if pipe.sync.last_imu is None
+                          else np.concatenate([[pipe.sync.last_imu[0]],
+                                               pipe.sync.last_imu[1],
+                                               pipe.sync.last_imu[2]])),
+        "sync_last_t_lidar": pipe.sync.last_timestamp_lidar,
+        "sync_last_t_imu": pipe.sync.last_timestamp_imu,
         "truncated_points": pipe.truncated_points,
         "lm_lo": np.asarray(jax.device_get(lm_lo)),
         "lm_hi": np.asarray(jax.device_get(lm_hi)),
@@ -101,12 +120,29 @@ def save_pipeline(path, pipe):
 
 
 def load_pipeline(path, pipe):
-    """Restore a pipeline saved by save_pipeline (in place)."""
+    """Restore a pipeline saved by save_pipeline (in place).  Works for
+    sharded pipelines too (single- or multi-process): the checkpoint holds
+    the GLOBAL map layout, which is re-sharded onto the pipeline's mesh."""
     import jax.numpy as jnp
 
     from .. import imu as imu_mod
 
     x, P, m, carry, meta = load(path, pipe.dtype)
+    if pipe.mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.sharding import AXIS
+
+        rep = pipe._rep_sharding
+        x, P, carry = (jax.device_put(x, rep), jax.device_put(P, rep),
+                       jax.device_put(carry, rep))
+        m = hm.Map(
+            packed=jax.device_put(
+                m.packed, NamedSharding(pipe.mesh, PartitionSpec(AXIS))),
+            dropped=jax.device_put(
+                m.dropped, NamedSharding(pipe.mesh, PartitionSpec(AXIS))),
+        )
     pipe.x, pipe.P, pipe.map, pipe.imu_carry = x, P, m, carry
     if "lm_lo" in meta:  # full checkpoint
         pipe.lm_state = (
@@ -114,6 +150,10 @@ def load_pipeline(path, pipe):
             jnp.asarray(meta["lm_hi"], pipe.dtype),
             jnp.asarray(bool(meta["lm_init"])),
         )
+        if pipe.mesh is not None:
+            import jax
+
+            pipe.lm_state = jax.device_put(pipe.lm_state, pipe._rep_sharding)
         pipe.acc_scale = float(meta["acc_scale"])
         pipe.imu_need_init = bool(meta["imu_need_init"])
         pipe.map_built = bool(meta["map_built"])
@@ -122,6 +162,12 @@ def load_pipeline(path, pipe):
         pipe.last_lidar_end_time = float(meta["last_lidar_end_time"])
         pipe.sync.mean_scantime = float(meta["mean_scantime"])
         pipe.sync.scan_num = int(meta["scan_num"])
+        if "sync_last_imu" in meta:
+            sli = np.asarray(meta["sync_last_imu"], np.float64)
+            pipe.sync.last_imu = (None if np.isnan(sli[0])
+                                  else (float(sli[0]), sli[1:4], sli[4:7]))
+            pipe.sync.last_timestamp_lidar = float(meta["sync_last_t_lidar"])
+            pipe.sync.last_timestamp_imu = float(meta["sync_last_t_imu"])
         pipe.truncated_points = int(meta["truncated_points"])
         pipe.imu_stats = imu_mod.InitStats(
             n=int(meta["imu_stats_n"]),

@@ -54,6 +54,43 @@ def test_native_generic_matches_numpy_ouster():
     np.testing.assert_allclose(got_t, ref.time_offset_s, atol=1e-15)
 
 
+def test_decode_dispatch_native_parity():
+    """drivers.decode with the native path on vs forced numpy: identical
+    RawScan for every natively-supported sensor (the integration VERDICT r2
+    item 8 asked for — native is the default when the library is present)."""
+    from fast_lio_tpu.preprocess.drivers import decode
+
+    n = 4000
+    msgs = {
+        LidarType.AVIA: dict(
+            xyz=RNG.uniform(-20, 20, (n, 3)).astype(np.float32),
+            reflectivity=RNG.uniform(0, 255, n).astype(np.float32),
+            offset_time_ns=(np.arange(n) * 1e4).astype(np.int64),
+            tag=RNG.choice([0x00, 0x10, 0x20], n).astype(np.uint8),
+            line=RNG.integers(0, 6, n).astype(np.uint8),
+        ),
+        LidarType.OUST64: dict(
+            xyz=RNG.uniform(-30, 30, (n, 3)).astype(np.float32),
+            intensity=RNG.uniform(0, 100, n).astype(np.float32),
+            t=(np.arange(n) * 1e5).astype(np.int64),
+        ),
+        LidarType.MARSIM: dict(
+            xyz=RNG.uniform(-30, 30, (n, 3)).astype(np.float32),
+            intensity=RNG.uniform(0, 100, n).astype(np.float32),
+        ),
+    }
+    for lt, msg in msgs.items():
+        cfg = Config(lidar_type=lt, blind=2.0, point_filter_num=3,
+                     time_unit=TimeUnit.NS)
+        nat = decode(msg, cfg, use_native=True)
+        ref = decode(msg, cfg, use_native=False)
+        assert len(nat.pts) == len(ref.pts), lt
+        np.testing.assert_allclose(nat.pts, ref.pts, atol=0)
+        np.testing.assert_allclose(nat.time_offset_s, ref.time_offset_s,
+                                   atol=1e-12)
+        np.testing.assert_allclose(nat.intensity, ref.intensity, atol=0)
+
+
 def test_native_voxel_downsample_centroids():
     n = 2000
     xyz = RNG.uniform(-5, 5, (n, 3)).astype(np.float32)

@@ -27,7 +27,7 @@ RNG = np.random.default_rng(21)
 DT = jnp.float64
 
 
-def make_cfg():
+def make_cfg(wide=False):
     cfg = Config(
         lidar_type=LidarType.AVIA,
         n_points_max=2048,
@@ -37,6 +37,8 @@ def make_cfg():
         map_bucket_slots=8,
         filter_size_surf=0.3,
         filter_size_map=0.3,
+        knn_backend="xla",
+        knn_wide_fallback=wide,
     )
     map_cfg = hm.make_config(
         voxel_size=cfg.filter_size_map,
@@ -73,13 +75,19 @@ def make_inputs(cfg):
         imu_t, imu_acc, imu_gyr, imu_mask,
         jnp.asarray(1.0, DT), jnp.asarray(0.0, DT), jnp.asarray(0.1, DT),
         jnp.asarray(pts, DT), jnp.asarray(ptt, DT), jnp.asarray(pt_mask),
+        jnp.zeros(N, DT),  # intensity
         lo, hi, jnp.asarray(True), jnp.asarray(True),
     )
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_step_matches_single_device():
-    cfg, map_cfg = make_cfg()
+@pytest.mark.parametrize("wide", [False, True],
+                         ids=["standard", "wide_fallback"])
+def test_sharded_step_matches_single_device(wide):
+    """f64 single-device vs 8-shard equivalence, with and without the
+    adaptive wide-region fallback (the sharded path must carry the full
+    single-device feature set, VERDICT r2 item 6)."""
+    cfg, map_cfg = make_cfg(wide)
     mesh = Mesh(np.asarray(jax.devices()[:8]), (sharding.AXIS,))
 
     x0 = st.identity_state(DT)._replace(
@@ -112,9 +120,10 @@ def test_sharded_step_matches_single_device():
     map_specs = hm.Map(packed=P(sharding.AXIS), dropped=P(sharding.AXIS))
     x_spec = st.State(*([rep] * 8))
     carry_spec = imu_mod.ImuCarry(rep, rep)
-    in_specs = (x_spec, rep, map_specs, carry_spec, rep) + (rep,) * 14
+    in_specs = (x_spec, rep, map_specs, carry_spec, rep) + (rep,) * 15
     diag_spec = dict(n_down=rep, n_eff=rep, iters=rep, map_size=rep)
-    clouds_spec = dict(world=rep, world_mask=rep, body=rep, body_mask=rep,
+    clouds_spec = dict(world=rep, world_mask=rep, world_intensity=rep,
+                       body=rep, body_mask=rep, body_intensity=rep,
                        effect_mask=rep)
     out_specs = (x_spec, rep, map_specs, carry_spec, (rep, rep, rep),
                  clouds_spec, diag_spec)

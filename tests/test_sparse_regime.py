@@ -96,16 +96,28 @@ def test_wide_fallback_never_worse_than_standard():
 
 
 def test_outdoor_scale_e2e_with_wide_fallback():
-    """Outdoor-scale sim (90 x 90 m hall, walls at up to ~60 m, 8-ring
-    LiDAR): far-field wall returns are meters apart, the regime where the
-    standard search loses associations.  The sparse preset (cell = 5 voxels
-    + wide fallback) must deliver a sane trajectory."""
-    import dataclasses as dc
+    """Outdoor-scale e2e (90 x 90 m hall, walls out to ~60-100 m, 16-ring
+    LiDAR seeing floor + far walls): far-field wall returns are >1 m apart,
+    the regime where the standard 2x2x2 search loses associations.  The
+    sparse remedy (cell = 5 voxels + wide fallback, now the default in the
+    VELODYNE/OUSTER64/MID360 presets) must (a) deliver a sane trajectory and
+    (b) achieve e2e association parity with the reference's unbounded search
+    + sqrt(5) m gate (laserMapping.cpp:670-671), probed against f64 brute
+    force over the actual live map.
 
-    import jax
-
+    Scenario fairness was calibrated against the f64 oracle (reference math,
+    exact brute-force kNN): the round-2 scenario (8 rings at +-15 deg, all
+    far-field, sigma = 3 cm) diverges under the REFERENCE's own math (oracle
+    ATE 217 cm — collinear single-ring 5-NN sets give degenerate plane fits),
+    so it tested the scenario, not the implementation.  On this geometry the
+    oracle and the pipeline agree (58 vs 54 cm at sigma = 3 cm; the pipeline
+    is run at sigma = 1 cm here).  ATE bar uses the standard TUM/evo
+    definition (Umeyama SE(3) alignment), as the reference's own ATE tables
+    do; the unaligned first-pose ATE is bounded as a gross-divergence guard.
+    """
     from fast_lio_tpu import sim as simlib
     from fast_lio_tpu.config import Config, LidarType
+    from fast_lio_tpu.map import hash_map as hm
     from fast_lio_tpu.pipeline import Pipeline
 
     world = simlib.World(
@@ -116,15 +128,16 @@ def test_outdoor_scale_e2e_with_wide_fallback():
             (np.array([12.0, 25.0, 0.0]), np.array([15.5, 28.5, 12.0])),
         ),
     )
-    traj = simlib.Trajectory(radius=12.0, omega=0.45)
+    traj = simlib.Trajectory(radius=12.0, omega=0.4)
     data = simlib.generate(
-        simlib.SimConfig(duration=4.0, n_rings=8, n_azimuth=260,
-                         max_range=100.0, range_noise=0.03),
+        simlib.SimConfig(duration=4.0, n_rings=16, n_azimuth=320,
+                         elev_min=-22.0, elev_max=8.0,
+                         max_range=100.0, range_noise=0.01),
         traj=traj, world=world,
     )
     cfg = Config(
         lidar_type=LidarType.AVIA, filter_size_surf=0.5, filter_size_map=0.5,
-        n_points_max=4096, n_ds_max=2048, n_imu_max=32, map_h_log2=12,
+        n_points_max=8192, n_ds_max=4096, n_imu_max=32, map_h_log2=12,
         det_range=100.0, cube_side_length=600.0, knn_backend="xla",
         knn_wide_fallback=True, map_cell_multiplier=5,
     )
@@ -139,6 +152,35 @@ def test_outdoor_scale_e2e_with_wide_fallback():
         pipe.push_lidar(stamp, data.scans[k], data.scan_pt_times[k])
         while pipe.spin_once():
             pass
-    ate = simlib.ate_rmse(pipe.trajectory, data)
-    assert not pipe.health_check()["nan"]
-    assert ate < 0.25, f"outdoor-scale ATE {ate*100:.1f} cm"
+
+    hc = pipe.health_check()
+    assert not hc["nan"]
+    # cell=5 => 128 derived slots: dense near-field cells must NOT overflow
+    assert hc["map_dropped"] == 0, hc
+    ate_raw = simlib.ate_rmse(pipe.trajectory, data)
+    ate = simlib.ate_rmse_aligned(pipe.trajectory, data)
+    assert ate_raw < 0.60, f"gross divergence: raw ATE {ate_raw*100:.1f} cm"
+    assert ate < 0.25, f"outdoor-scale aligned ATE {ate*100:.1f} cm"
+
+    # ---- e2e recall probe: association parity with the reference gate ----
+    # queries = live world points of the final scan (what h_share_model
+    # actually searches); truth = f64 brute force over the live map content.
+    w = np.asarray(pipe.last_pts_world)
+    wm = np.asarray(pipe.last_pts_world_mask)
+    q = w[wm][:512].astype(np.float32)
+    map_pts = hm.flatten(pipe.map)
+    sq_bf, ok_bf = brute_gated(map_pts.astype(np.float64),
+                               q.astype(np.float64))
+    import jax.numpy as jnp
+
+    nb, sq, found = hm.knn_search(pipe.map, pipe.map_cfg, jnp.asarray(q),
+                                  wide=True)
+    sq = np.asarray(sq)
+    accepted = np.asarray(found)[:, 4] & (sq[:, 4] <= MAX_NN_SQ)
+    n_ref = int(ok_bf.sum())
+    assert n_ref > 256  # the probe genuinely exercises the gate
+    hits = (accepted & ok_bf
+            & np.isclose(np.where(accepted, sq[:, 4], 0),
+                         np.where(accepted, sq_bf[:, 4], 0), rtol=1e-3))
+    recall = hits.sum() / n_ref
+    assert recall == 1.0, f"e2e recall {recall:.4f} (n_ref={n_ref})"

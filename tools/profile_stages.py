@@ -139,7 +139,8 @@ def main():
     lm_lo, lm_hi, lm_init = pipe.lm_state
     args = (x, P, m, carry, Q, imu_t, imu_acc, imu_gyr, imu_mask,
             jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype),
-            jnp.asarray(0.1, dtype), pts, ptt, pt_mask, lm_lo, lm_hi,
+            jnp.asarray(0.1, dtype), pts, ptt, pt_mask,
+            jnp.zeros_like(ptt), lm_lo, lm_hi,
             lm_init, jnp.asarray(True), jnp.asarray(True))
     timeit("FULL fused lio_step", step, *args, reps=20)
 
