@@ -66,6 +66,10 @@ def main():
     )
     pipe = Pipeline(cfg)
 
+    from fast_lio_tpu.pipeline import use_pallas_knn
+
+    knn_backend = ("pallas" if use_pallas_knn(cfg, pipe.map_cfg) else "xla")
+
     # pre-build packets so packet sync never interleaves with timing
     imu_i = 0
     packets = []
@@ -132,6 +136,7 @@ def main():
             "n_eff_last": int(pipe.diags[-1].n_effective) if pipe.diags else 0,
             "map_size": int(pipe.diags[-1].map_size) if pipe.diags else 0,
             "platform": str(jax.devices()[0].platform),
+            "knn_backend": knn_backend,
         },
     }
     print(json.dumps(result))

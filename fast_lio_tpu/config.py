@@ -87,8 +87,10 @@ class Config:
 
     # --- TPU runtime ---
     knn_backend: str = "auto"  # "auto" | "xla" | "pallas": map kNN engine.
-    # auto = the fused Pallas kernel (map.knn_pallas) on TPU when the packed
-    # map fits VMEM, XLA region-gather otherwise.  Identical semantics.
+    # auto = XLA region-gather (measured fastest on-chip end-to-end, 212.7
+    # vs 161.3 scans/s for the Pallas kernel at bench shapes — PERF.md r3);
+    # "pallas" opts into the fused kernel (identical semantics, map must
+    # fit VMEM, no rescore_research).
     knn_wide_fallback: bool = False  # when the 2x2x2 search leaves queries
     # unsaturated (< 5 neighbors or 5th NN beyond the covered radius), re-run
     # those scans' search over the centered 3x3x3 region (coverage radius =

@@ -271,7 +271,7 @@ def knn_search(
     found = sq < W_VALID_MAX
     # winner-coordinate extraction as a one-hot matmul: on TPU this rides the
     # MXU and is ~2.3x cheaper than per-row take_along_axis gathers
-    # (tools/microbench_knn6.py).  'highest' so f32 coordinates are never
+    # (tools/microbench_knn.py).  'highest' so f32 coordinates are never
     # rounded through bf16 operands; the one-hot factor is exact either way.
     oh = (idx[:, :, None] == jnp.arange(R * B)[None, None, :]).astype(cx.dtype)
     cand = jnp.stack([cx, cy, cz], axis=-1)  # (N, R*B, 3)

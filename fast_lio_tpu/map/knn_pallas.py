@@ -3,7 +3,7 @@
 
 Why a kernel: XLA's row gather on this backend carries a large FIXED cost
 (~0.6 ms per gather op regardless of row count — measured in
-tools/microbench_knn3.py), and the kNN needs R=8 bucket rows for each of
+tools/microbench_knn.py), and the kNN needs R=8 bucket rows for each of
 ~4096 queries, 2-3 times per scan.  The kernel instead:
 
   1. bulk-DMAs the ENTIRE packed map (H x 4B planar rows, hash_map.Map) from

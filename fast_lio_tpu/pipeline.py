@@ -37,20 +37,27 @@ MOV_THRESHOLD = 1.5  # laserMapping.cpp:78
 
 
 def use_pallas_knn(cfg: Config, map_cfg: hm.MapConfig) -> bool:
-    """Backend choice for the map kNN (Config.knn_backend)."""
-    from .map import knn_pallas as kp
+    """Backend choice for the map kNN (Config.knn_backend).
 
+    "auto" resolves to the XLA region-gather: measured ON CHIP at bench
+    shapes (round 3, PERF.md), the fused Pallas kernel LOSES end-to-end —
+    161.3 vs 212.7 scans/s — because its per-query serial VMEM row loop
+    costs more than XLA's batched gather + one-hot MXU extraction.  The
+    kernel stays available as an explicit opt-in (knn_backend="pallas") and
+    in tests; revisit if the map layout changes."""
     if cfg.knn_backend == "pallas":
+        from .map import knn_pallas as kp
+
+        if not kp.supports(map_cfg):
+            raise ValueError(
+                f"knn_backend='pallas' needs the packed map to fit VMEM "
+                f"(<= {kp.VMEM_MAP_LIMIT >> 20} MB); map is "
+                f"{(map_cfg.num_buckets * map_cfg.row_width * 4) >> 20} MB")
+        if cfg.rescore_research:
+            raise ValueError("pallas kNN cannot materialize candidate "
+                             "blocks; disable rescore_research")
         return True
-    if cfg.knn_backend == "xla":
-        return False
-    if cfg.rescore_research:  # kernel path doesn't materialize candidates
-        return False
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:  # pragma: no cover
-        return False
-    return platform == "tpu" and kp.supports(map_cfg)
+    return False
 
 
 def make_knn_fn(cfg: Config, map_cfg: hm.MapConfig, m: hm.Map):

@@ -1,12 +1,23 @@
-"""Microbenchmark the kNN hot path on the real chip.
+"""kNN + downsample microbenchmarks (consolidated from the six round-1/2
+iteration scripts — one file, one methodology).
 
-Times each component of map.hash_map.knn_search (gather, distance, top-k)
-and candidate replacement strategies, to direct optimization work.
-Not part of the test suite; run manually: python tools/microbench_knn.py
+All timings use the slope method: each variant loops N_LO and N_HI times
+inside ONE jit with a forced host readback; the reported cost is the slope,
+which cancels the tunnel round trip (jax.block_until_ready does not block
+on the axon backend).
+
+Variant groups:
+  1. kNN decomposition — gather+d2, +top_k, extraction strategies
+     (take_along_axis / multi-operand sort / flat re-gather / one-hot MXU
+     matmul / 5x iterative min+one-hot).  The production pick is the one-hot
+     MXU extraction (hash_map.knn_search); history: round-2 measured it
+     ~2.3x cheaper than take_along_axis.
+  2. voxel downsample — 3-key lexsort (production) vs packed 1-key argsort.
+
+Run manually on the chip:  python tools/microbench_knn.py
 """
 import sys
 import time
-from functools import partial
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -18,175 +29,158 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/fast_lio_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from fast_lio_tpu.map import hash_map as hm
+H, B, NQ, NR = 8192, 64, 4096, 8
+C = NR * B
+rng = np.random.default_rng(0)
+packed = jnp.asarray(rng.normal(size=(H, 4 * B)), jnp.float32)
+buckets = jnp.asarray(rng.integers(0, H, size=(NQ, NR)), jnp.int32)
+q = jnp.asarray(rng.normal(size=(NQ, 3)).astype(np.float32) * 3)
+raw = jnp.asarray(rng.uniform(-15, 15, size=(8192, 3)), jnp.float32)
+raw_mask = jnp.arange(8192) < 6400
 
-N_Q = 4096
-H_LOG2 = 15
-SLOTS = 16
-VOXEL = 0.3
-
-
-def build_map(cfg, n_pts=16000, seed=0):
-    """Host-built map: surface-like points (walls of a room), one per voxel."""
-    rng = np.random.default_rng(seed)
-    # points on 4 walls + floor of a 40x40x6 room, voxel-deduped
-    pts = []
-    n_per = n_pts
-    xy = rng.uniform(0, 40, size=(n_per, 2))
-    walls = [
-        np.c_[xy[:, 0], np.zeros(n_per), rng.uniform(0, 6, n_per)],
-        np.c_[xy[:, 0], np.full(n_per, 40.0), rng.uniform(0, 6, n_per)],
-        np.c_[np.zeros(n_per), xy[:, 1], rng.uniform(0, 6, n_per)],
-        np.c_[xy[:, 0], xy[:, 1], np.zeros(n_per)],
-    ]
-    pts = np.concatenate(walls).astype(np.float32)
-    vox = np.floor(pts / cfg.voxel_size).astype(np.int64)
-    _, keep = np.unique(
-        vox[:, 0] * 10_000_00 + vox[:, 1] * 1000 + vox[:, 2], return_index=True
-    )
-    pts = pts[keep]
-    # scatter into buckets host-side
-    H, B = cfg.num_buckets, cfg.bucket_slots
-    cell = np.floor(pts / cfg.cell_size).astype(np.int32)
-    h = (cell[:, 0] * hm._P1) ^ (cell[:, 1] * hm._P2) ^ (cell[:, 2] * hm._P3)
-    h = h.astype(np.uint32)
-    h ^= h >> 16
-    h = (h * np.uint32(0x85EBCA6B)) & 0xFFFFFFFF
-    h ^= h >> 13
-    h = (h * np.uint32(0xC2B2AE35)) & 0xFFFFFFFF
-    h ^= h >> 16
-    bucket = (h & (H - 1)).astype(np.int64)
-    mpts = np.zeros((H, B, 3), np.float32)
-    mval = np.zeros((H, B), bool)
-    fill = np.zeros(H, np.int32)
-    for p, b in zip(pts, bucket):
-        if fill[b] < B:
-            mpts[b, fill[b]] = p
-            mval[b, fill[b]] = True
-            fill[b] += 1
-    print(f"map: {mval.sum()} pts, max bucket fill {fill.max()}", file=sys.stderr)
-    return hm.Map(jnp.asarray(mpts), jnp.asarray(mval), jnp.zeros((), jnp.int32)), pts
+N_LO, N_HI = 4, 24
 
 
-def timeit(fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps * 1e3
+def slope(name, make_fn, *args):
+    t = {}
+    for n in (N_LO, N_HI):
+        f = jax.jit(make_fn(n))
+        out = f(*args)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        best = np.inf
+        for _ in range(4):
+            t0 = time.perf_counter()
+            out = f(*args)
+            _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+            best = min(best, time.perf_counter() - t0)
+        t[n] = best
+    print(f"{name:46s} {(t[N_HI]-t[N_LO])/(N_HI-N_LO)*1e3:8.3f} ms/iter")
 
 
-def main():
-    cfg = hm.make_config(VOXEL, H_LOG2, SLOTS)
-    m, pts = build_map(cfg)
-    rng = np.random.default_rng(1)
-    sel = rng.integers(0, len(pts), N_Q)
-    q = jnp.asarray(pts[sel] + rng.normal(0, 0.05, (N_Q, 3)).astype(np.float32))
+def d2_of(bk, qq):
+    rows = packed[bk.reshape(-1)].reshape(NQ, NR, 4 * B)
+    cx = rows[:, :, 0 * B:1 * B].reshape(NQ, C)
+    cy = rows[:, :, 1 * B:2 * B].reshape(NQ, C)
+    cz = rows[:, :, 2 * B:3 * B].reshape(NQ, C)
+    cw = rows[:, :, 3 * B:4 * B].reshape(NQ, C)
+    d2 = ((cx - qq[:, None, 0]) ** 2 + (cy - qq[:, None, 1]) ** 2
+          + (cz - qq[:, None, 2]) ** 2 + cw)
+    return d2, cx, cy, cz
 
-    B = cfg.bucket_slots
 
-    # --- components -------------------------------------------------------
-    def buckets_of(queries):
-        cell = hm._cell_of(queries, cfg.cell_size)
-        ncells = cell[:, None, :] + hm._NEIGHBOR_OFFSETS[None, :, :]
-        return hm._bucket_of(ncells, cfg.h_log2)
+def mk(body):
+    def make(n):
+        def f(bk, qq):
+            def it(i, acc):
+                return acc + body((bk + i) & (H - 1), qq + acc * 1e-12)
+            return jax.lax.fori_loop(0, n, it, 0.0)
+        return f
+    return make
 
-    @jax.jit
-    def gather_only(queries):
-        buckets = buckets_of(queries)
-        cand = m.pts[buckets]  # (N, 27, B, 3)
-        ok = m.valid[buckets]
-        return jnp.sum(cand), jnp.sum(ok)
 
-    @jax.jit
-    def gather_dist(queries):
-        buckets = buckets_of(queries)
-        cand = m.pts[buckets].reshape(N_Q, 27 * B, 3)
-        ok = m.valid[buckets].reshape(N_Q, 27 * B)
-        d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
-        d2 = jnp.where(ok, d2, jnp.inf)
-        return jnp.min(d2, axis=-1)
+# ---- group 1: kNN decomposition -------------------------------------------
 
-    @jax.jit
-    def full_current(queries):
-        return hm.knn_search(m, cfg, queries)
 
-    @jax.jit
-    def topk_only(d2):
-        neg, idx = jax.lax.top_k(-d2, 5)
-        return neg, idx
+def b_d2(bk, qq):
+    d2, *_ = d2_of(bk, qq)
+    return d2.sum()
 
-    @jax.jit
-    def argmin5(d2):
-        outs = []
-        for _ in range(5):
-            i = jnp.argmin(d2, axis=-1)
-            v = jnp.take_along_axis(d2, i[:, None], axis=1)
-            outs.append((v[:, 0], i))
-            d2 = d2.at[jnp.arange(d2.shape[0]), i].set(jnp.inf)
-        return outs
 
-    d2_fix = jnp.asarray(
-        rng.random((N_Q, 27 * B), np.float32)
-    )
+def b_topk(bk, qq):
+    d2, *_ = d2_of(bk, qq)
+    neg, idx = jax.lax.top_k(-d2, 5)
+    return neg.sum()
 
-    print("gather_only       %7.3f ms" % timeit(gather_only, q))
-    print("gather+dist       %7.3f ms" % timeit(gather_dist, q))
-    print("full knn_search   %7.3f ms" % timeit(full_current, q))
-    print("topk(432->5)      %7.3f ms" % timeit(topk_only, d2_fix))
-    print("argmin x5         %7.3f ms" % timeit(argmin5, d2_fix))
 
-    # --- variant: flat gather from (H*B, 3) with row indices ---------------
-    pts_flat = m.pts.reshape(-1, 3)
-    val_flat = m.valid.reshape(-1)
+def x_take_along(bk, qq):
+    d2, cx, cy, cz = d2_of(bk, qq)
+    neg, idx = jax.lax.top_k(-d2, 5)
+    nx = jnp.take_along_axis(cx, idx, axis=1)
+    ny = jnp.take_along_axis(cy, idx, axis=1)
+    nz = jnp.take_along_axis(cz, idx, axis=1)
+    return neg.sum() + nx.sum() + ny.sum() + nz.sum()
 
-    @jax.jit
-    def gather_flat(queries):
-        buckets = buckets_of(queries)  # (N, 27)
-        slot_idx = (buckets[..., None] * B + jnp.arange(B)).reshape(N_Q, 27 * B)
-        cand = pts_flat[slot_idx]
-        ok = val_flat[slot_idx]
-        d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
-        return jnp.min(jnp.where(ok, d2, jnp.inf), axis=-1)
 
-    print("gather flat+dist  %7.3f ms" % timeit(gather_flat, q))
+def x_sort(bk, qq):
+    d2, cx, cy, cz = d2_of(bk, qq)
+    ds, xs, ys, zs = jax.lax.sort((d2, cx, cy, cz), dimension=1, num_keys=1)
+    return ds[:, :5].sum() + xs[:, :5].sum() + ys[:, :5].sum() + zs[:, :5].sum()
 
-    # --- variant: map as (H, B*4) packed rows (single gather per bucket) ---
-    packed = jnp.concatenate(
-        [m.pts, jnp.where(m.valid, 0.0, jnp.inf)[..., None]], axis=-1
-    ).reshape(cfg.num_buckets, B * 4)
 
-    @jax.jit
-    def gather_packed(queries):
-        buckets = buckets_of(queries)  # (N, 27)
-        rows = packed[buckets]  # (N, 27, B*4)
-        cand = rows.reshape(N_Q, 27 * B, 4)
-        d2 = jnp.sum((cand[..., :3] - queries[:, None, :]) ** 2, axis=-1)
-        d2 = d2 + cand[..., 3]
-        return jnp.min(d2, axis=-1)
+def x_regather(bk, qq):
+    d2, cx, cy, cz = d2_of(bk, qq)
+    neg, idx = jax.lax.top_k(-d2, 5)
+    bsel = jnp.take_along_axis(bk, idx // B, axis=1)
+    slot = idx % B
+    flat = bsel * (4 * B) + slot
+    pf = packed.reshape(-1)
+    fi = jnp.stack([flat, flat + B, flat + 2 * B], axis=-1)
+    nb = pf[fi.reshape(-1)].reshape(NQ, 5, 3)
+    return -neg.sum() + nb.sum()
 
-    print("gather packed     %7.3f ms" % timeit(gather_packed, q))
 
-    # --- variant: one-bucket-per-query (queries pre-grouped upstream) ------
-    @jax.jit
-    def gather_1of27(queries):
-        cell = hm._cell_of(queries, cfg.cell_size)
-        b = hm._bucket_of(cell, cfg.h_log2)
-        rows = packed[b]  # (N, B*4)
-        cand = rows.reshape(N_Q, B, 4)
-        d2 = jnp.sum((cand[..., :3] - queries[:, None, :]) ** 2, axis=-1)
-        return jnp.min(d2 + cand[..., 3], axis=-1)
+def x_onehot(bk, qq):
+    d2, cx, cy, cz = d2_of(bk, qq)
+    neg, idx = jax.lax.top_k(-d2, 5)
+    oh = jax.nn.one_hot(idx, C, dtype=jnp.float32)
+    cand = jnp.stack([cx, cy, cz], axis=-1)
+    nb = jnp.einsum("nkc,ncd->nkd", oh, cand,
+                    preferred_element_type=jnp.float32)
+    return -neg.sum() + nb.sum()
 
-    print("gather 1-bucket   %7.3f ms" % timeit(gather_1of27, q))
 
-    # --- variant: sorted queries (locality) ---------------------------------
-    cellq = np.floor(np.asarray(q) / cfg.cell_size).astype(np.int64)
-    keyq = cellq[:, 0] * 1_000_000 + cellq[:, 1] * 1000 + cellq[:, 2]
-    q_sorted = jnp.asarray(np.asarray(q)[np.argsort(keyq)])
-    print("gather packed (sorted q) %7.3f ms" % timeit(gather_packed, q_sorted))
+def x_iter5(bk, qq):
+    d2, cx, cy, cz = d2_of(bk, qq)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (NQ, C), 1)
+    tot = 0.0
+    for _ in range(5):
+        m = jnp.min(d2, axis=1, keepdims=True)
+        l = jnp.min(jnp.where(d2 == m, lanes, C), axis=1, keepdims=True)
+        hit = (lanes == l).astype(jnp.float32)
+        tot = tot + (cx * hit).sum() + (cy * hit).sum() + (cz * hit).sum() \
+            + m.sum()
+        d2 = jnp.where(lanes == l, jnp.inf, d2)
+    return tot
+
+
+# ---- group 2: voxel downsample ---------------------------------------------
+
+
+def ds_lexsort(bk, qq):
+    from fast_lio_tpu.ops.voxel_grid import voxel_downsample
+    c, om = voxel_downsample(raw + qq[0, 0] * 1e-12, raw_mask, 0.3, 4096)
+    return c.sum()
+
+
+def ds_packed(bk, qq):
+    pts = raw + qq[0, 0] * 1e-12
+    leaf, n_out = 0.3, 4096
+    cell = jnp.floor(pts / leaf).astype(jnp.int32)
+    ref = jnp.min(jnp.where(raw_mask[:, None], cell, 2**20), axis=0)
+    rel = jnp.clip(cell - ref, 0, 1023)
+    key = (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]
+    key = jnp.where(raw_mask, key, jnp.int32(2**30))
+    order = jnp.argsort(key)
+    ks = key[order]
+    pts_s = pts[order]
+    live_s = ks < 2**30
+    first = jnp.concatenate([jnp.array([True]), ks[1:] != ks[:-1]])
+    first = first & live_s
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.where(live_s, jnp.minimum(seg, n_out), n_out)
+    w = live_s.astype(jnp.float32)
+    sums = jax.ops.segment_sum(pts_s * w[:, None], seg, num_segments=n_out + 1)
+    cnts = jax.ops.segment_sum(w, seg, num_segments=n_out + 1)
+    return (sums[:n_out] / jnp.maximum(cnts[:n_out], 1.0)[:, None]).sum()
 
 
 if __name__ == "__main__":
-    main()
+    slope("gather+d2 only", mk(b_d2), buckets, q)
+    slope("gather+d2+top_k", mk(b_topk), buckets, q)
+    slope("extract: take_along_axis", mk(x_take_along), buckets, q)
+    slope("extract: multi-operand sort + slice", mk(x_sort), buckets, q)
+    slope("extract: flat scalar re-gather", mk(x_regather), buckets, q)
+    slope("extract: one-hot MXU matmul (production)", mk(x_onehot), buckets, q)
+    slope("extract: 5x iterative min+one-hot", mk(x_iter5), buckets, q)
+    slope("voxel downsample: 3-key lexsort (prod)", mk(ds_lexsort), buckets, q)
+    slope("voxel downsample: packed 1-key argsort", mk(ds_packed), buckets, q)
