@@ -5,6 +5,14 @@ Baseline: the reference claims >100 Hz LiDAR-rate processing
 (/root/reference/README.md:236-261, README.md:42), so vs_baseline =
 scans_per_sec / 100.
 
+Scenarios (``python bench.py [scenario]``, default ``avia`` — the driver's
+no-arg invocation is unchanged): the SURVEY §6 sensor envelope.
+  avia              ~12.8k pts/scan indoor, 0.3 m voxels (headline)
+  ouster64          64-ring ~44k pts/scan indoor, 0.5 m voxels, sparse preset
+  mid360            100 Hz small scans (~640 pts), 0.5 m voxels
+  velodyne_outdoor  16-ring outdoor 90x90 m hall, sparse remedy on
+                    (the proven test_sparse_regime e2e geometry)
+
 Measurement discipline (round 2):
   * REAL synchronization — jax.block_until_ready does NOT block on the axon
     tunnel backend (verified: an 8192^3 matmul "finishes" in 26 us under it
@@ -31,6 +39,119 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 N_WARM = 6
 
 
+def _scenario(name):
+    """Returns (cfg, sim_data, use_aligned_ate). Configs mirror the proven
+    test configurations for each envelope point (tests/test_sparse_regime.py
+    for the outdoor one)."""
+    import os
+
+    from fast_lio_tpu import sim as simlib
+    from fast_lio_tpu.config import Config, LidarType
+
+    knn = os.environ.get("FAST_LIO_KNN", "auto")
+    if name == "avia":
+        # Avia-like load: ~12.8k raw points/scan pre-decimation, 0.3 m voxels.
+        # Pads sized to keep XLA compile time bounded on the tunnel backend.
+        cfg = Config(
+            lidar_type=LidarType.AVIA,
+            filter_size_surf=0.3,
+            filter_size_map=0.3,
+            n_points_max=8192,
+            n_ds_max=4096,
+            n_imu_max=32,
+            map_h_log2=13,  # x 64 slots = same 524k capacity as the old 15x16
+            det_range=40.0,
+            cube_side_length=300.0,
+            knn_backend=knn,
+        )
+        data = simlib.generate(
+            simlib.SimConfig(duration=10.0, n_rings=16, n_azimuth=400)
+        )
+        return cfg, data, False
+    if name == "ouster64":
+        # 64-ring spinning lidar, ~44k rays/scan (SURVEY §6: OS1-64 ≈ 44k
+        # pts at 10 Hz after the reference's 1-in-3 decimation of 131k).
+        cfg = Config(
+            lidar_type=LidarType.OUST64,
+            filter_size_surf=0.5,
+            filter_size_map=0.5,
+            n_points_max=45056,
+            n_ds_max=8192,
+            n_imu_max=32,
+            map_h_log2=13,
+            det_range=100.0,
+            cube_side_length=300.0,
+            map_cell_multiplier=5,
+            knn_wide_fallback=True,
+            knn_backend=knn,
+        )
+        data = simlib.generate(
+            simlib.SimConfig(duration=10.0, n_rings=64, n_azimuth=688,
+                             elev_min=-22.5, elev_max=22.5)
+        )
+        return cfg, data, False
+    if name == "mid360":
+        # high-rate regime: 100 Hz scans of ~640 pts (the reference's >100 Hz
+        # claim is exactly this downsampled-Avia/mid360 mode, README.md:42)
+        cfg = Config(
+            lidar_type=LidarType.AVIA,
+            filter_size_surf=0.5,
+            filter_size_map=0.5,
+            n_points_max=1024,
+            n_ds_max=512,
+            n_imu_max=8,
+            map_h_log2=12,
+            det_range=100.0,
+            cube_side_length=300.0,
+            map_cell_multiplier=5,
+            knn_wide_fallback=True,
+            knn_backend=knn,
+        )
+        data = simlib.generate(
+            simlib.SimConfig(duration=10.0, scan_period=0.01, n_rings=8,
+                             n_azimuth=80, imu_rate=400.0)
+        )
+        return cfg, data, False
+    if name == "velodyne_outdoor":
+        # the proven outdoor sparse-regime geometry
+        # (tests/test_sparse_regime.py::test_outdoor_scale_e2e_with_wide_fallback)
+        import numpy as np
+
+        world = simlib.World(
+            room_lo=np.array([-40.0, -20.0, 0.0]),
+            room_hi=np.array([50.0, 70.0, 12.0]),
+            pillars=(
+                (np.array([-10.0, 8.0, 0.0]), np.array([-7.0, 11.0, 12.0])),
+                (np.array([12.0, 25.0, 0.0]), np.array([15.5, 28.5, 12.0])),
+            ),
+        )
+        cfg = Config(
+            lidar_type=LidarType.VELO16,
+            filter_size_surf=0.5,
+            filter_size_map=0.5,
+            n_points_max=8192,
+            n_ds_max=4096,
+            n_imu_max=32,
+            map_h_log2=12,
+            det_range=100.0,
+            cube_side_length=600.0,
+            map_cell_multiplier=5,
+            knn_wide_fallback=True,
+            knn_backend=knn,
+        )
+        data = simlib.generate(
+            simlib.SimConfig(duration=10.0, n_rings=16, n_azimuth=320,
+                             elev_min=-22.0, elev_max=8.0,
+                             max_range=100.0, range_noise=0.01),
+            traj=simlib.Trajectory(radius=12.0, omega=0.4),
+            world=world,
+        )
+        # outdoor + measurement noise: ATE per the standard TUM/evo aligned
+        # definition (what the reference's own tables use); raw also reported
+        return cfg, data, True
+    raise SystemExit(f"unknown scenario {name!r}")
+
+
 def main():
     import jax
 
@@ -41,29 +162,10 @@ def main():
     import numpy as np
 
     from fast_lio_tpu import sim as simlib
-    from fast_lio_tpu.config import Config, LidarType
     from fast_lio_tpu.pipeline import Pipeline
 
-    import os
-
-    # Avia-like load: ~12.8k raw points/scan pre-decimation, 0.3 m voxels.
-    # Pads sized to keep XLA compile time bounded on the tunnel backend.
-    cfg = Config(
-        lidar_type=LidarType.AVIA,
-        filter_size_surf=0.3,
-        filter_size_map=0.3,
-        n_points_max=8192,
-        n_ds_max=4096,
-        n_imu_max=32,
-        map_h_log2=13,  # x 64 slots = same 524k capacity as the old 15 x 16
-        det_range=40.0,
-        cube_side_length=300.0,
-        knn_backend=os.environ.get("FAST_LIO_KNN", "auto"),
-    )
-    duration = 10.0
-    data = simlib.generate(
-        simlib.SimConfig(duration=duration, n_rings=16, n_azimuth=400)
-    )
+    scenario = sys.argv[1] if len(sys.argv) > 1 else "avia"
+    cfg, data, aligned_ate = _scenario(scenario)
     pipe = Pipeline(cfg)
 
     from fast_lio_tpu.pipeline import use_pallas_knn
@@ -71,11 +173,13 @@ def main():
     knn_backend = ("pallas" if use_pallas_knn(cfg, pipe.map_cfg) else "xla")
 
     # pre-build packets so packet sync never interleaves with timing
+    period = (float(data.scan_stamps[1] - data.scan_stamps[0])
+              if len(data.scan_stamps) > 1 else 0.1)
     imu_i = 0
     packets = []
     for k in range(len(data.scans)):
         stamp = data.scan_stamps[k]
-        end = stamp + 0.1
+        end = stamp + period
         while imu_i < len(data.imu_t) and data.imu_t[imu_i] <= end + 1e-9:
             pipe.push_imu(data.imu_t[imu_i], data.imu_acc[imu_i], data.imu_gyr[imu_i])
             imu_i += 1
@@ -117,14 +221,18 @@ def main():
     scans_per_sec = len(meas) / wall
 
     deltas_ms = np.sort(np.asarray(deltas)) * 1e3
-    ate = simlib.ate_rmse(pipe.trajectory, data)
+    ate_raw = simlib.ate_rmse(pipe.trajectory, data)
+    ate = (simlib.ate_rmse_aligned(pipe.trajectory, data) if aligned_ate
+           else ate_raw)
     result = {
         "metric": "lio_scan_rate",
         "value": round(scans_per_sec, 2),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / 100.0, 3),
         "extra": {
+            "scenario": scenario,
             "ate_rmse_m": round(ate, 4),
+            "ate_rmse_raw_m": round(ate_raw, 4),
             "scans": len(meas),
             "half1_scans_per_sec": round(halves[0], 2),
             "half2_scans_per_sec": round(halves[1], 2),

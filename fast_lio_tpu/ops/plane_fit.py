@@ -18,6 +18,10 @@ Design deltas for TPU (deliberate, documented):
 * The smallest eigenvector comes from two inverse-iteration steps (Tikhonov-
   shifted adjugate solves) seeded by an edge cross product — exact for true
   planes, no eigendecomposition needed.
+* Everything is unrolled elementwise over the K=5 neighbor axis (no einsum/
+  matmul): the (N, K, 3) x (N, K, 3) -> (N, 3, 3) batched-matmul form costs
+  0.47 ms at N=4096 on TPU v5e (tiny contractions lower badly), while the
+  unrolled VPU form fuses with its producers and is below measurement noise.
 """
 from __future__ import annotations
 
@@ -56,18 +60,24 @@ def fit_plane(
     ok requires all K neighbors present, a non-degenerate neighborhood, and
     every neighbor within ``threshold`` of the plane (common_lib.h:249-255).
     """
-    import jax
-
-    with jax.default_matmul_precision("highest"):
-        return _fit_plane_impl(neighbors, found, threshold)
-
-
-def _fit_plane_impl(neighbors, found, threshold):
     all_found = jnp.all(found, axis=-1)
 
     centroid = jnp.mean(neighbors, axis=-2)  # (N, 3)
     A = neighbors - centroid[:, None, :]  # (N, K, 3)
-    AtA = jnp.einsum("nki,nkj->nij", A, A)  # centered scatter
+    # centered scatter, elementwise over K (see module docstring)
+    ax, ay, az = A[..., 0], A[..., 1], A[..., 2]  # (N, K)
+
+    def dot(u, v):
+        return jnp.sum(u * v, axis=-1)
+
+    AtA = jnp.stack(
+        [
+            jnp.stack([dot(ax, ax), dot(ax, ay), dot(ax, az)], -1),
+            jnp.stack([dot(ax, ay), dot(ay, ay), dot(ay, az)], -1),
+            jnp.stack([dot(ax, az), dot(ay, az), dot(az, az)], -1),
+        ],
+        axis=-2,
+    )  # (N, 3, 3)
 
     # seed normal: cross of two neighborhood edges
     e1 = neighbors[:, 1, :] - neighbors[:, 0, :]
@@ -88,7 +98,7 @@ def _fit_plane_impl(neighbors, found, threshold):
     d = -jnp.sum(n_vec * centroid, axis=-1)
     pabcd = jnp.concatenate([n_vec, d[:, None]], axis=-1)
 
-    res = jnp.abs(jnp.einsum("nki,ni->nk", neighbors, n_vec) + d[:, None])
+    res = jnp.abs(jnp.sum(neighbors * n_vec[:, None, :], axis=-1) + d[:, None])
     ok_res = jnp.all(res <= threshold, axis=-1)
     ok_geom = jnp.logical_and(seed_norm > 1e-12, trace > 1e-12)
     return pabcd, all_found & ok_geom & ok_res

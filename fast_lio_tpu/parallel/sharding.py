@@ -99,9 +99,8 @@ def _merge(nbrs, sq, k):
     n, N = all_sq.shape[0], all_sq.shape[1]
     all_nbrs = jnp.moveaxis(all_nbrs, 0, 1).reshape(N, n * k, 3)
     all_sq = jnp.moveaxis(all_sq, 0, 1).reshape(N, n * k)
-    neg_top, idx = jax.lax.top_k(-jnp.where(jnp.isfinite(all_sq), all_sq,
-                                            jnp.inf), k)
-    sq_m = -neg_top
+    sq_m, idx = hm.smallest_k(
+        jnp.where(jnp.isfinite(all_sq), all_sq, jnp.inf), k)
     nbrs_m = jnp.take_along_axis(all_nbrs, idx[..., None], axis=1)
     return nbrs_m, sq_m, jnp.isfinite(sq_m)
 
