@@ -461,17 +461,15 @@ def insert(
     overflow = jnp.sum(jnp.logical_and(do_append, rank >= free_count))
 
     # ---- scatter ----------------------------------------------------------
-    # one flat scatter of 4 channel lanes per written point (x, y, z, w=0)
-    def flat_idx(slot, on):
-        base = jnp.where(on, bucket * W + slot, FLAT)  # FLAT = dropped
-        return jnp.stack([base, base + B, base + 2 * B, base + 3 * B], -1)
-
-    idx = jnp.concatenate(
-        [flat_idx(same_slot, do_replace), flat_idx(app_slot, app_ok)], axis=0
-    )  # (2N, 4)
+    # replace and append are disjoint per point (do_append excludes the
+    # has-incumbent ds case), so each candidate writes at most one slot:
+    # one flat scatter of 4 channel lanes per point (x, y, z, w=0)
+    write_on = jnp.logical_or(do_replace, app_ok)
+    write_slot = jnp.where(do_replace, same_slot, app_slot)
+    base = jnp.where(write_on, bucket * W + write_slot, FLAT)  # FLAT = dropped
+    idx = jnp.stack([base, base + B, base + 2 * B, base + 3 * B], -1)  # (N, 4)
     zeros = jnp.zeros((N, 1), dtype)
     vals = jnp.concatenate([pts.astype(dtype), zeros], axis=-1)  # (N, 4)
-    vals = jnp.concatenate([vals, vals], axis=0)  # (2N, 4)
 
     packed = m.packed.reshape(FLAT)
     packed = packed.at[idx.reshape(-1)].set(vals.reshape(-1), mode="drop")

@@ -58,8 +58,14 @@ def voxel_downsample(
     cols = pts_s if feats is None else jnp.concatenate(
         [pts_s, feats[order][:, None]], axis=-1
     )
-    sums = jax.ops.segment_sum(cols * w[:, None], seg_id, num_segments=n_out + 1)
-    cnts = jax.ops.segment_sum(w, seg_id, num_segments=n_out + 1)
+    # seg_id is monotone non-decreasing by construction (cumsum over the
+    # sorted order; dead points carry the max id) -> sorted-scatter path
+    sums = jax.ops.segment_sum(
+        cols * w[:, None], seg_id, num_segments=n_out + 1, indices_are_sorted=True
+    )
+    cnts = jax.ops.segment_sum(
+        w, seg_id, num_segments=n_out + 1, indices_are_sorted=True
+    )
     sums, cnts = sums[:n_out], cnts[:n_out]
 
     out_mask = cnts > 0
