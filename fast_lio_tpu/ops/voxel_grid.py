@@ -23,6 +23,7 @@ def voxel_downsample(
     leaf: float,
     n_out: int,
     feats: jnp.ndarray = None,  # optional (N,) extra channel (intensity)
+    coord_bound: float = None,  # static |coordinate| bound enabling key fusion
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (centroids (n_out, 3), out_mask (n_out,)[, feats (n_out,)]).
 
@@ -30,25 +31,49 @@ def voxel_downsample(
     inputs never contribute.  ``feats`` is voxel-averaged alongside the
     positions — PCL VoxelGrid's downsample_all_data behavior, which the
     reference relies on to carry intensity through its input filter.
+
+    ``coord_bound``: when the caller can statically bound |coords| (scan
+    points are body-frame, so det_range + deskew margin works), the 3-key
+    lexsort collapses to a single fused int32 key — a ~3x narrower sort
+    comparator on TPU.  Exact for points within the bound; the rare point
+    beyond it is clamped to the boundary voxel of the batch's bounding box
+    (such points sit outside the local-map cube and are gated out of the
+    measurement by the kNN distance check anyway).  Falls back to the exact
+    lexsort when the fused key does not fit 31 bits.
     """
     N = pts.shape[0]
     cell = jnp.floor(pts / leaf).astype(jnp.int32)
     BIG = jnp.int32(2**30)
-    cx = jnp.where(mask, cell[:, 0], BIG)
-    cy = jnp.where(mask, cell[:, 1], BIG)
-    cz = jnp.where(mask, cell[:, 2], BIG)
 
-    order = jnp.lexsort((cz, cy, cx))
-    sx, sy, sz = cx[order], cy[order], cz[order]
+    bits = 0
+    if coord_bound is not None:
+        import math
+
+        # extent of (cell - min cell) along one axis, +2 slack for floor/clamp
+        bits = max(1, math.ceil(math.log2(2 * coord_bound / leaf + 2)))
+    if coord_bound is not None and 3 * bits <= 30:
+        # ---- fused single-key path ----
+        ref = jnp.min(jnp.where(mask[:, None], cell, BIG), axis=0)
+        rel = jnp.clip(cell - ref, 0, (1 << bits) - 1)
+        key = (rel[:, 0] << (2 * bits)) | (rel[:, 1] << bits) | rel[:, 2]
+        key = jnp.where(mask, key, BIG)
+        order = jnp.argsort(key)
+        sk = key[order]
+        is_first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
+    else:
+        cx = jnp.where(mask, cell[:, 0], BIG)
+        cy = jnp.where(mask, cell[:, 1], BIG)
+        cz = jnp.where(mask, cell[:, 2], BIG)
+        order = jnp.lexsort((cz, cy, cx))
+        sx, sy, sz = cx[order], cy[order], cz[order]
+        is_first = jnp.concatenate(
+            [
+                jnp.array([True]),
+                (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
+            ]
+        )
     pts_s = pts[order]
     live_s = mask[order]
-
-    is_first = jnp.concatenate(
-        [
-            jnp.array([True]),
-            (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
-        ]
-    )
     is_first = jnp.logical_and(is_first, live_s)
     seg_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # (N,) 0-based
     # dead points -> overflow segment

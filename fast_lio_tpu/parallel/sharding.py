@@ -194,7 +194,8 @@ def sharded_lio_step(
         m_local,
     )
     pts_ds, ds_mask, int_ds = voxel_downsample(
-        pts_d, pt_mask, cfg.filter_size_surf, N, feats=pt_intensity
+        pts_d, pt_mask, cfg.filter_size_surf, N, feats=pt_intensity,
+        coord_bound=cfg.det_range * 1.25 + 5.0,  # matches pipeline.lio_step
     )
 
     # 4: update with shard-merged kNN + sliced rows + psum'd reductions

@@ -316,7 +316,8 @@ def lio_step(
     # 3. input voxel downsample (PCL VoxelGrid analog; intensity is voxel-
     # averaged alongside like PCL's downsample_all_data)
     pts_ds, ds_mask, int_ds = voxel_downsample(
-        pts_d, pt_mask, cfg.filter_size_surf, cfg.n_ds_max, feats=pt_intensity
+        pts_d, pt_mask, cfg.filter_size_surf, cfg.n_ds_max, feats=pt_intensity,
+        coord_bound=cfg.det_range * 1.25 + 5.0,  # body frame + deskew margin
     )
 
     # 4. iterated point-to-plane update (hot loops #2-#4)

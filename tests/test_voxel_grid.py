@@ -52,3 +52,37 @@ def test_single_voxel():
     np.testing.assert_allclose(
         np.asarray(cents)[np.asarray(mask)][0], pts.mean(axis=0), atol=1e-6
     )
+
+
+def test_fused_key_matches_lexsort():
+    """coord_bound fused-key path == exact lexsort path for in-bound points,
+    including the intensity channel and the masked/padded rows."""
+    pts = RNG.uniform(-30, 30, (800, 3)).astype(np.float32)
+    mask = RNG.random(800) < 0.8
+    feats = RNG.uniform(0, 255, 800).astype(np.float32)
+    a = voxel_downsample(jnp.asarray(pts), jnp.asarray(mask), 0.5, 512,
+                         feats=jnp.asarray(feats))
+    b = voxel_downsample(jnp.asarray(pts), jnp.asarray(mask), 0.5, 512,
+                         feats=jnp.asarray(feats), coord_bound=35.0)
+    # same voxel set, same centroids, same averaged intensity (order may
+    # differ between sort keys -> compare as sorted rows)
+    ca = np.asarray(a[0])[np.asarray(a[1])]
+    cb = np.asarray(b[0])[np.asarray(b[1])]
+    fa = np.asarray(a[2])[np.asarray(a[1])]
+    fb = np.asarray(b[2])[np.asarray(b[1])]
+    oa = np.lexsort(ca.T)
+    ob = np.lexsort(cb.T)
+    np.testing.assert_allclose(ca[oa], cb[ob], atol=1e-6)
+    np.testing.assert_allclose(fa[oa], fb[ob], atol=1e-4)
+
+
+def test_fused_key_falls_back_when_bits_overflow():
+    # coord_bound huge at a tiny leaf -> 3*bits > 30 -> exact lexsort path
+    pts = RNG.uniform(-400, 400, (300, 3)).astype(np.float32)
+    a = voxel_downsample(jnp.asarray(pts), jnp.ones(300, bool), 0.1, 300)
+    b = voxel_downsample(jnp.asarray(pts), jnp.ones(300, bool), 0.1, 300,
+                         coord_bound=500.0)
+    ca = np.asarray(a[0])[np.asarray(a[1])]
+    cb = np.asarray(b[0])[np.asarray(b[1])]
+    np.testing.assert_allclose(ca[np.lexsort(ca.T)], cb[np.lexsort(cb.T)],
+                               atol=1e-6)
