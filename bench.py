@@ -40,7 +40,7 @@ N_WARM = 6
 
 
 def _scenario(name):
-    """Returns (cfg, sim_data, use_aligned_ate). Configs mirror the proven
+    """Returns (cfg, sim_data). Configs mirror the proven
     test configurations for each envelope point (tests/test_sparse_regime.py
     for the outdoor one)."""
     import os
@@ -67,7 +67,7 @@ def _scenario(name):
         data = simlib.generate(
             simlib.SimConfig(duration=10.0, n_rings=16, n_azimuth=400)
         )
-        return cfg, data, False
+        return cfg, data
     if name == "ouster64":
         # 64-ring spinning lidar, ~44k rays/scan (SURVEY §6: OS1-64 ≈ 44k
         # pts at 10 Hz after the reference's 1-in-3 decimation of 131k).
@@ -89,7 +89,7 @@ def _scenario(name):
             simlib.SimConfig(duration=10.0, n_rings=64, n_azimuth=688,
                              elev_min=-22.5, elev_max=22.5)
         )
-        return cfg, data, False
+        return cfg, data
     if name == "mid360":
         # high-rate regime: 100 Hz scans of ~640 pts (the reference's >100 Hz
         # claim is exactly this downsampled-Avia/mid360 mode, README.md:42)
@@ -111,7 +111,7 @@ def _scenario(name):
             simlib.SimConfig(duration=10.0, scan_period=0.01, n_rings=8,
                              n_azimuth=80, imu_rate=400.0)
         )
-        return cfg, data, False
+        return cfg, data
     if name == "velodyne_outdoor":
         # the proven outdoor sparse-regime geometry
         # (tests/test_sparse_regime.py::test_outdoor_scale_e2e_with_wide_fallback)
@@ -146,9 +146,7 @@ def _scenario(name):
             traj=simlib.Trajectory(radius=12.0, omega=0.4),
             world=world,
         )
-        # outdoor + measurement noise: ATE per the standard TUM/evo aligned
-        # definition (what the reference's own tables use); raw also reported
-        return cfg, data, True
+        return cfg, data
     raise SystemExit(f"unknown scenario {name!r}")
 
 
@@ -165,7 +163,7 @@ def main():
     from fast_lio_tpu.pipeline import Pipeline
 
     scenario = sys.argv[1] if len(sys.argv) > 1 else "avia"
-    cfg, data, aligned_ate = _scenario(scenario)
+    cfg, data = _scenario(scenario)
     pipe = Pipeline(cfg)
 
     from fast_lio_tpu.pipeline import use_pallas_knn
@@ -221,9 +219,11 @@ def main():
     scans_per_sec = len(meas) / wall
 
     deltas_ms = np.sort(np.asarray(deltas)) * 1e3
+    # ate_rmse_m is the standard TUM/evo Umeyama-aligned ATE for EVERY
+    # scenario (one definition, rows comparable); the raw first-pose-anchored
+    # value is always published alongside as ate_rmse_raw_m.
     ate_raw = simlib.ate_rmse(pipe.trajectory, data)
-    ate = (simlib.ate_rmse_aligned(pipe.trajectory, data) if aligned_ate
-           else ate_raw)
+    ate = simlib.ate_rmse_aligned(pipe.trajectory, data)
     result = {
         "metric": "lio_scan_rate",
         "value": round(scans_per_sec, 2),
@@ -232,6 +232,7 @@ def main():
         "extra": {
             "scenario": scenario,
             "ate_rmse_m": round(ate, 4),
+            "ate_definition": "umeyama_aligned",
             "ate_rmse_raw_m": round(ate_raw, 4),
             "scans": len(meas),
             "half1_scans_per_sec": round(halves[0], 2),

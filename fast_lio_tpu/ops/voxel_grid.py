@@ -35,11 +35,15 @@ def voxel_downsample(
     ``coord_bound``: when the caller can statically bound |coords| (scan
     points are body-frame, so det_range + deskew margin works), the 3-key
     lexsort collapses to a single fused int32 key — a ~3x narrower sort
-    comparator on TPU.  Exact for points within the bound; the rare point
-    beyond it is clamped to the boundary voxel of the batch's bounding box
-    (such points sit outside the local-map cube and are gated out of the
-    measurement by the kNN distance check anyway).  Falls back to the exact
-    lexsort when the fused key does not fit 31 bits.
+    comparator on TPU.  The key uses a STATIC origin (``half`` voxels), so
+    the result is exact iff every unmasked point satisfies |coord| <=
+    coord_bound; a point beyond the bound is clamped per-point to the
+    boundary voxel on the offending axis, affecting only itself (it may
+    merge with a genuine boundary voxel) — in-bound points are never
+    perturbed.  (A data-dependent origin such as the batch min would let a
+    single far outlier shift every in-bound point's key — do not reintroduce
+    it.)  Falls back to the exact lexsort when the fused key does not fit
+    31 bits.
     """
     N = pts.shape[0]
     cell = jnp.floor(pts / leaf).astype(jnp.int32)
@@ -49,12 +53,12 @@ def voxel_downsample(
     if coord_bound is not None:
         import math
 
-        # extent of (cell - min cell) along one axis, +2 slack for floor/clamp
-        bits = max(1, math.ceil(math.log2(2 * coord_bound / leaf + 2)))
+        # static per-axis shift: in-bound cells lie in [-(half-1), half-1]
+        half = math.ceil(coord_bound / leaf) + 1
+        bits = max(1, math.ceil(math.log2(2 * half)))
     if coord_bound is not None and 3 * bits <= 30:
-        # ---- fused single-key path ----
-        ref = jnp.min(jnp.where(mask[:, None], cell, BIG), axis=0)
-        rel = jnp.clip(cell - ref, 0, (1 << bits) - 1)
+        # ---- fused single-key path (static origin, per-point clamp) ----
+        rel = jnp.clip(cell + half, 0, (1 << bits) - 1)
         key = (rel[:, 0] << (2 * bits)) | (rel[:, 1] << bits) | rel[:, 2]
         key = jnp.where(mask, key, BIG)
         order = jnp.argsort(key)

@@ -76,6 +76,36 @@ def test_fused_key_matches_lexsort():
     np.testing.assert_allclose(fa[oa], fb[ob], atol=1e-4)
 
 
+def test_fused_key_outlier_does_not_corrupt_inbound_voxels():
+    """A point beyond coord_bound (either sign) must only affect itself:
+    every in-bound voxel/centroid must still match the exact lexsort path.
+    Regression for the data-dependent-origin bug where one far outlier
+    shifted the batch-min reference and merged in-bound voxels."""
+    pts = RNG.uniform(-30, 30, (800, 3)).astype(np.float32)
+    feats = RNG.uniform(0, 255, 800).astype(np.float32)
+    for outlier in ([-500.0, 3.0, 3.0], [3.0, 700.0, 3.0], [2.0, 2.0, -900.0]):
+        p = pts.copy()
+        p[0] = outlier
+        a = voxel_downsample(jnp.asarray(p), jnp.ones(800, bool), 0.5, 1024,
+                             feats=jnp.asarray(feats))
+        b = voxel_downsample(jnp.asarray(p), jnp.ones(800, bool), 0.5, 1024,
+                             feats=jnp.asarray(feats), coord_bound=35.0)
+        ca = np.asarray(a[0])[np.asarray(a[1])]
+        cb = np.asarray(b[0])[np.asarray(b[1])]
+        fa = np.asarray(a[2])[np.asarray(a[1])]
+        fb = np.asarray(b[2])[np.asarray(b[1])]
+        # drop the outlier's own voxel from each side (clamped in b), then
+        # the in-bound voxel sets and centroids must agree exactly
+        in_a = np.all(np.abs(ca) <= 35.0, axis=1)
+        in_b = np.all(np.abs(cb) <= 35.0, axis=1)
+        ca, fa = ca[in_a], fa[in_a]
+        cb, fb = cb[in_b], fb[in_b]
+        assert len(ca) == len(cb)
+        oa, ob = np.lexsort(ca.T), np.lexsort(cb.T)
+        np.testing.assert_allclose(ca[oa], cb[ob], atol=1e-6)
+        np.testing.assert_allclose(fa[oa], fb[ob], atol=1e-4)
+
+
 def test_fused_key_falls_back_when_bits_overflow():
     # coord_bound huge at a tiny leaf -> 3*bits > 30 -> exact lexsort path
     pts = RNG.uniform(-400, 400, (300, 3)).astype(np.float32)
