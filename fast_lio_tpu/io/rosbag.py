@@ -365,6 +365,8 @@ class BagWriter:
 def replay_into_pipeline(bag_path, pipeline, lidar_topic, imu_topic,
                          cfg=None, max_scans=None):
     """Feed a bag through a Pipeline (the `rosbag play` analog)."""
+    import time as _time
+
     from ..preprocess.drivers import decode
 
     cfg = cfg or pipeline.cfg
@@ -376,9 +378,11 @@ def replay_into_pipeline(bag_path, pipeline, lidar_topic, imu_topic,
                 msg["stamp"], msg["linear_acceleration"], msg["angular_velocity"]
             )
         else:
+            t0 = _time.perf_counter()
             scan = decode(msg, cfg)
+            pre_t = _time.perf_counter() - t0
             pipeline.push_lidar(msg["stamp"], scan.pts, scan.time_offset_s,
-                                scan.intensity)
+                                scan.intensity, preprocess_time=pre_t)
             n_scans += 1
             if max_scans and n_scans >= max_scans:
                 break

@@ -24,8 +24,16 @@ filtering) except tie order among equidistant candidates, which is
 irrelevant downstream (the 5-NN SET feeds a plane fit).
 
 The kernel requires the map to fit in VMEM (packed bytes <= ~12 MB, i.e.
-h_log2 <= 13 at 64 slots).  pipeline.Pipeline auto-selects it on TPU when
-that holds (Config.knn_backend = "auto").
+h_log2 <= 13 at 64 slots).
+
+STATUS (round 3, PERF.md "Pallas kNN verdict"): measured ON CHIP at bench
+shapes this kernel LOSES end-to-end — 161.3 vs 212.7 scans/s — because its
+per-query serial VMEM row loop costs more than XLA's batched gather +
+one-hot MXU winner extraction.  ``Config.knn_backend="auto"`` therefore
+resolves to the XLA path (pipeline.use_pallas_knn); this kernel is an
+explicit opt-in (``knn_backend="pallas"``) kept for its interpret-mode
+parity tests and as the starting point if the map layout ever makes XLA's
+gather the bottleneck again.
 """
 from __future__ import annotations
 

@@ -118,6 +118,8 @@ class ScanPacket:
     imu_gyr: np.ndarray  # (m, 3)
     intensity: Optional[np.ndarray] = None  # (n,) f32 (reference carries it
     # in PointType.intensity through to the published clouds)
+    preprocess_time: float = 0.0  # host decode seconds for this scan (the
+    # reference's per-frame preprocess CSV column, laserMapping.cpp:1042-1044)
 
 
 class SyncBuffer:
@@ -141,7 +143,8 @@ class SyncBuffer:
         self.timediff_set = False
 
     def push_lidar(self, stamp: float, pts: np.ndarray, pt_time: np.ndarray,
-                   intensity: Optional[np.ndarray] = None):
+                   intensity: Optional[np.ndarray] = None,
+                   preprocess_time: float = 0.0):
         if stamp < self.last_timestamp_lidar:  # loop-back clear (:284-288)
             self.lidar_buf.clear()
         self.last_timestamp_lidar = stamp
@@ -151,7 +154,7 @@ class SyncBuffer:
             # one-shot clock-offset estimate (laserMapping.cpp:319-324)
             self.timediff_set = True
             self.timediff_lidar_wrt_imu = stamp + 0.1 - self.last_timestamp_imu
-        self.lidar_buf.append((stamp, pts, pt_time, intensity))
+        self.lidar_buf.append((stamp, pts, pt_time, intensity, preprocess_time))
 
     def push_imu(self, t: float, acc: np.ndarray, gyr: np.ndarray):
         t = t - self.cfg.time_offset_lidar_to_imu
@@ -169,7 +172,7 @@ class SyncBuffer:
     def pop_packet(self) -> Optional[ScanPacket]:
         if not self.lidar_buf or not self.imu_t:
             return None
-        stamp, pts, pt_time, intensity = self.lidar_buf[0]
+        stamp, pts, pt_time, intensity, pre_t = self.lidar_buf[0]
         if len(pts) <= 1:
             end = stamp + self.mean_scantime
         elif pt_time[-1] < 0.5 * self.mean_scantime:
@@ -208,6 +211,7 @@ class SyncBuffer:
             imu_acc=np.stack(sel_a) if sel_a else np.zeros((0, 3)),
             imu_gyr=np.stack(sel_g) if sel_g else np.zeros((0, 3)),
             intensity=intensity,
+            preprocess_time=pre_t,
         )
 
 
@@ -574,8 +578,10 @@ class Pipeline:
         out[3:, :3] = P[0:3, 3:6]
         return out
 
-    def push_lidar(self, stamp, pts, pt_time, intensity=None):
-        self.sync.push_lidar(float(stamp), pts, pt_time, intensity)
+    def push_lidar(self, stamp, pts, pt_time, intensity=None,
+                   preprocess_time=0.0):
+        self.sync.push_lidar(float(stamp), pts, pt_time, intensity,
+                             preprocess_time)
 
     def push_imu(self, t, acc, gyr):
         self.sync.push_imu(float(t), acc, gyr)
@@ -614,7 +620,7 @@ class Pipeline:
     def process_packet(self, pkt: ScanPacket):
         t0 = time.perf_counter()
         cfg = self.cfg
-        diag = StepDiag(n_raw=len(pkt.pts))
+        diag = StepDiag(n_raw=len(pkt.pts), preprocess_time=pkt.preprocess_time)
 
         if self.first_lidar_time is None:
             self.first_lidar_time = pkt.lidar_beg_time

@@ -83,7 +83,12 @@ def measure_stage_times(pipe) -> dict:
         return jax.lax.fori_loop(0, n, body, init)
 
     def f_search(n):
-        knn_fn = lambda q, mask: hm.knn_search(m, map_cfg, q)
+        # the CONFIGURED backend + wide fallback, not a bare hm.knn_search —
+        # on the sparse presets the wide-3x3x3 re-search is exactly where the
+        # search cost differs (round-3 review item)
+        from ..pipeline import make_knn_fn
+
+        knn_fn = make_knn_fn(cfg, map_cfg, m)
         cache0 = meas.empty_cache(N, dtype, 0)
 
         def body(i, acc):

@@ -3,8 +3,13 @@
 jax.block_until_ready does not block on the axon backend, so each stage is
 timed by looping it N times inside one jit and forcing a host readback; the
 reported number is the slope between two loop lengths (cancels the ~37 ms
-tunnel RTT).  Shapes match bench.py.
-Run manually: python tools/profile_stages.py
+tunnel RTT).
+
+Shapes come from the bench scenarios: ``python tools/profile_stages.py
+[avia|ouster64|mid360|velodyne_outdoor]`` (default avia) — so the stage
+table in PERF.md can be produced for any envelope point.  The kNN stage is
+built via pipeline.make_knn_fn, so it times the CONFIGURED backend including
+the wide-3x3x3 fallback on the sparse presets (round-3 review item).
 """
 import sys
 import time
@@ -20,44 +25,47 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/fast_lio_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import bench as benchmod
 from fast_lio_tpu import imu as imu_mod
 from fast_lio_tpu import state as st
-from fast_lio_tpu.config import Config, LidarType
 from fast_lio_tpu.filter import ekf, process
 from fast_lio_tpu.map import hash_map as hm
 from fast_lio_tpu.ops import measurement as meas
 from fast_lio_tpu.ops.voxel_grid import voxel_downsample
+from fast_lio_tpu.pipeline import make_knn_fn
 
 N_LO, N_HI = 4, 24
 
-cfg = Config(
-    lidar_type=LidarType.AVIA, filter_size_surf=0.3, filter_size_map=0.3,
-    n_points_max=8192, n_ds_max=4096, n_imu_max=32, map_h_log2=13,
-    det_range=40.0, cube_side_length=300.0,
+scenario = sys.argv[1] if len(sys.argv) > 1 else "avia"
+cfg, _data = benchmod._scenario(scenario)
+map_cfg = hm.make_config(
+    voxel_size=cfg.filter_size_map, h_log2=cfg.map_h_log2,
+    bucket_slots=cfg.map_bucket_slots, cell_multiplier=cfg.map_cell_multiplier,
 )
-map_cfg = hm.make_config(voxel_size=cfg.filter_size_map, h_log2=cfg.map_h_log2,
-                         bucket_slots=cfg.map_bucket_slots)
 rng = np.random.default_rng(0)
 DT = jnp.float32
 
-# a populated map + scan-like data
+# a populated map + scan-like data at the scenario's shapes
 mpts = rng.uniform(-20, 20, size=(120000, 3)).astype(np.float32)
 m = hm.make_map(map_cfg, DT)
 m = hm.insert(m, map_cfg, jnp.asarray(mpts), jnp.ones(len(mpts), bool),
               jnp.zeros(len(mpts), bool))
-pts_raw = jnp.asarray(rng.uniform(-15, 15, size=(cfg.n_points_max, 3)), DT)
-pt_mask = jnp.arange(cfg.n_points_max) < 6400
-pt_time = jnp.asarray(np.sort(rng.uniform(0, 0.1, cfg.n_points_max)), DT)
-pts_ds = jnp.asarray(rng.uniform(-15, 15, size=(cfg.n_ds_max, 3)), DT)
-ds_mask = jnp.arange(cfg.n_ds_max) < 2600
+N_RAW, N_DS, N_IMU = cfg.n_points_max, cfg.n_ds_max, cfg.n_imu_max
+pts_raw = jnp.asarray(rng.uniform(-15, 15, size=(N_RAW, 3)), DT)
+pt_mask = jnp.arange(N_RAW) < int(N_RAW * 0.78)
+pt_time = jnp.asarray(np.sort(rng.uniform(0, 0.1, N_RAW)), DT)
+pts_ds = jnp.asarray(rng.uniform(-15, 15, size=(N_DS, 3)), DT)
+ds_mask = jnp.arange(N_DS) < int(N_DS * 0.63)
 x0 = st.identity_state(DT)
 P0 = jnp.eye(st.DOF, dtype=DT)
 Q = process.process_noise_cov(0.1, 0.1, 1e-4, 1e-4, DT)
 carry0 = imu_mod.init_imu_carry(DT)
-imu_t = jnp.asarray(np.linspace(0, 0.1, cfg.n_imu_max), DT)
-imu_acc = jnp.asarray(rng.normal(0, 0.1, (cfg.n_imu_max, 3)) + [0, 0, 9.81], DT)
-imu_gyr = jnp.asarray(rng.normal(0, 0.05, (cfg.n_imu_max, 3)), DT)
-imu_mask = jnp.ones(cfg.n_imu_max, bool)
+imu_t = jnp.asarray(np.linspace(0, 0.1, N_IMU), DT)
+imu_acc = jnp.asarray(rng.normal(0, 0.1, (N_IMU, 3)) + [0, 0, 9.81], DT)
+imu_gyr = jnp.asarray(rng.normal(0, 0.05, (N_IMU, 3)), DT)
+imu_mask = jnp.ones(N_IMU, bool)
+
+knn_fn = make_knn_fn(cfg, map_cfg, m)  # configured backend + wide fallback
 
 
 def slope(name, fn, *args):
@@ -74,7 +82,8 @@ def slope(name, fn, *args):
             best = min(best, time.perf_counter() - t0)
         t[n] = best
     per = (t[N_HI] - t[N_LO]) / (N_HI - N_LO)
-    print(f"{name:44s} {per*1e3:8.3f} ms/iter")
+    print(f"{name:46s} {per*1e3:8.3f} ms/iter")
+    return per
 
 
 def loop(body, n, init):
@@ -96,21 +105,21 @@ def f_imu(n, x, P, carry):
 def f_downsample(n, pts, mask):
     def body(i, acc):
         c, om = voxel_downsample(pts + acc * 1e-12, mask, cfg.filter_size_surf,
-                                 cfg.n_ds_max)
+                                 N_DS,
+                                 coord_bound=cfg.det_range * 1.25 + 5.0)
         return acc + c.sum()
     return loop(body, n, jnp.asarray(0.0, DT))
 
 
 def f_knn(n, m, q):
     def body(i, acc):
-        nb, sq, fo = hm.knn_search(m, map_cfg, q + acc * 1e-12)
+        nb, sq, fo = knn_fn(q + acc * 1e-12, ds_mask)
         return acc + sq.sum() + nb.sum()
     return loop(body, n, jnp.asarray(0.0, DT))
 
 
 def f_measurement(n, m, x):
-    knn_fn = lambda q, mask: hm.knn_search(m, map_cfg, q)
-    cache0 = meas.empty_cache(cfg.n_ds_max, DT, 0)
+    cache0 = meas.empty_cache(N_DS, DT, 0)
     def body(i, acc):
         h_x, h, sel, cache, valid, _pw = meas.compute_measurement(
             x._replace(pos=x.pos + acc * 1e-12), pts_ds, ds_mask, knn_fn,
@@ -121,8 +130,7 @@ def f_measurement(n, m, x):
 
 
 def f_update(n, m, x, P):
-    knn_fn = lambda q, mask: hm.knn_search(m, map_cfg, q)
-    cache0 = meas.empty_cache(cfg.n_ds_max, DT, 0)
+    cache0 = meas.empty_cache(N_DS, DT, 0)
     def h_fn(x_i, converge, cache):
         h_x, h, sel, cache, valid, _pw = meas.compute_measurement(
             x_i, pts_ds, ds_mask, knn_fn, cache, converge, True)
@@ -132,14 +140,14 @@ def f_update(n, m, x, P):
             x._replace(pos=x.pos + acc * 1e-12), P, h_fn, cache0,
             cfg.laser_point_cov, cfg.max_iteration, cfg.epsi)
         return acc + res.x.pos.sum()
-    return loop(body, n, jnp.asarray(0.0, DT))
+    return loop(body, n, (jnp.asarray(0.0, DT)))
 
 
 def f_insert(n, m):
     def body(i, mm):
         add, dsf = hm.insert_decisions(
-            pts_ds, ds_mask, jnp.zeros((cfg.n_ds_max, 5, 3), DT),
-            jnp.zeros((cfg.n_ds_max, 5), bool), jnp.asarray(True),
+            pts_ds, ds_mask, jnp.zeros((N_DS, 5, 3), DT),
+            jnp.zeros((N_DS, 5), bool), jnp.asarray(True),
             cfg.filter_size_map)
         return hm.insert(mm, map_cfg, pts_ds, add, dsf)
     return loop(body, n, m)
@@ -153,10 +161,16 @@ def f_prune(n, m):
 
 
 if __name__ == "__main__":
-    slope("imu propagate+deskew (32 knots, 8192 pts)", f_imu, x0, P0, carry0)
-    slope("voxel downsample (8192 -> 4096)", f_downsample, pts_raw, pt_mask)
-    slope("knn search (4096 q)", f_knn, m, pts_ds)
+    print(f"scenario={scenario}  pads: raw={N_RAW} ds={N_DS} imu={N_IMU}  "
+          f"knn wide_fallback={cfg.knn_wide_fallback}")
+    total = 0.0
+    total += slope(f"imu propagate+deskew ({N_IMU} knots, {N_RAW} pts)",
+                   f_imu, x0, P0, carry0)
+    total += slope(f"voxel downsample ({N_RAW} -> {N_DS})",
+                   f_downsample, pts_raw, pt_mask)
+    slope(f"knn search ({N_DS} q, configured backend)", f_knn, m, pts_ds)
     slope("measurement (knn+fit+H, 1 eval)", f_measurement, m, x0)
-    slope("full iterated update (3 iters)", f_update, m, x0, P0)
-    slope("map insert (4096)", f_insert, m)
-    slope("map prune", f_prune, m)
+    total += slope("full iterated update (3 iters)", f_update, m, x0, P0)
+    total += slope(f"map insert ({N_DS})", f_insert, m)
+    slope("map prune (gated, rarely fires)", f_prune, m)
+    print(f"{'device-bound total (imu+ds+update+insert)':46s} {total*1e3:8.3f} ms")
