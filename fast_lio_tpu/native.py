@@ -57,6 +57,14 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.voxel_downsample.restype = ctypes.c_int
     lib.voxel_downsample.argtypes = [f32p, ctypes.c_int, ctypes.c_double, f32p]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+    lib.decode_velodyne.restype = ctypes.c_int
+    lib.decode_velodyne.argtypes = [
+        f32p, f32p, f64p, i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int,
+        f32p, f64p, f32p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -97,6 +105,28 @@ def decode_generic(xyz, intensity, t_raw, blind, point_filter_num,
     out_i = np.empty(n, np.float32)
     k = lib.decode_generic(xyz, inten, tr, n, blind, point_filter_num,
                            time_scale_to_s, out_xyz, out_t, out_i)
+    return out_xyz[:k], out_t[:k], out_i[:k]
+
+
+def decode_velodyne(xyz, intensity, time_raw, ring, scan_rate, to_ms, blind,
+                    point_filter_num):
+    """Native Velodyne decode incl. azimuth-unwrap reconstruction; same
+    semantics as drivers.decode_velodyne (has-time detection is
+    ``time_raw[-1] > 0``, preprocess.cpp:304)."""
+    lib = _load()
+    assert lib is not None
+    n = len(xyz)
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    inten = np.ascontiguousarray(intensity, np.float32)
+    tr = np.ascontiguousarray(time_raw, np.float64)
+    rg = np.ascontiguousarray(ring, np.int32)
+    has_time = 1 if (n and tr[-1] > 0) else 0
+    out_xyz = np.empty((n, 3), np.float32)
+    out_t = np.empty(n, np.float64)
+    out_i = np.empty(n, np.float32)
+    k = lib.decode_velodyne(xyz, inten, tr, rg, n, has_time, scan_rate,
+                            to_ms, blind, point_filter_num,
+                            out_xyz, out_t, out_i)
     return out_xyz[:k], out_t[:k], out_i[:k]
 
 

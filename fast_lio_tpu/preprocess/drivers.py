@@ -93,7 +93,10 @@ def _velodyne_reconstruct_offsets(
     driver gives no per-point time.  Returns offsets in ms; the first point
     of each ring is marked with NaN (the reference `continue`s it away)."""
     omega_l = 0.361 * cfg.scan_rate  # deg per ms
-    yaw = np.arctan2(xyz[:, 1], xyz[:, 0]) * 57.2957
+    # f64 yaw regardless of input dtype: the exact contract shared with the
+    # native decoder (native/lio_host.cpp decode_velodyne, parity-tested)
+    yaw = np.arctan2(xyz[:, 1].astype(np.float64),
+                     xyz[:, 0].astype(np.float64)) * 57.2957
     out = np.full(len(xyz), np.nan)
     for layer in np.unique(ring):
         sel = np.where(ring == layer)[0]
@@ -158,10 +161,10 @@ def decode_marsim(xyz: np.ndarray, intensity: np.ndarray, cfg: Config) -> RawSca
 
 def _native_decode(msg: dict, cfg: Config):
     """Native-library fast path (native/lio_host.cpp) for the branchy
-    per-point decode loops; semantics identical to the numpy decoders above
-    (tests/test_native.py asserts bit-exact parity).  Returns None when the
-    shared library is unavailable or the sensor needs the numpy path
-    (Velodyne azimuth-unwrap time reconstruction)."""
+    per-point decode loops — all four handlers, including the Velodyne
+    azimuth-unwrap time reconstruction; semantics identical to the numpy
+    decoders above (tests/test_native.py asserts parity).  Returns None when
+    the shared library is unavailable."""
     from .. import native
 
     if not native.available():
@@ -185,7 +188,13 @@ def _native_decode(msg: dict, cfg: Config):
             np.zeros(len(msg["xyz"]), np.float64),
             cfg.blind, 1, 0.0,
         )
-    else:  # Velodyne: per-ring azimuth unwrap stays in numpy
+    elif lt == LidarType.VELO16:
+        pts, t_s, inten = native.decode_velodyne(
+            msg["xyz"], msg["intensity"], msg["time"], msg["ring"],
+            cfg.scan_rate, cfg.time_unit.to_ms, cfg.blind,
+            cfg.point_filter_num,
+        )
+    else:
         return None
     return RawScan(pts=pts, time_offset_s=t_s, intensity=inten)
 

@@ -92,6 +92,74 @@ int decode_generic(const float* xyz,
   return kept;
 }
 
+// --- Velodyne decode incl. azimuth-unwrap time reconstruction --------------
+// (preprocess.cpp:284-456 semantics, matching drivers.decode_velodyne.)
+// When the driver supplies no per-point time (has_time == 0), offsets are
+// reconstructed per ring from the yaw sweep at omega = 0.361 * scan_rate
+// deg/ms relative to the ring's FIRST return, with the single monotonicity
+// fix-up (+one revolution); the first return of each ring is dropped.
+// The per-ring state is streamed in one pass — equivalent to the grouped
+// numpy formulation because the fix-up only depends on in-ring point order.
+int decode_velodyne(const float* xyz,
+                    const float* intensity,
+                    const double* t_raw,     // per-point time field
+                    const int32_t* ring,     // n
+                    int n,
+                    int has_time,            // t_raw[n-1] > 0 upstream
+                    double scan_rate,
+                    double time_scale_to_ms, // raw time field -> ms
+                    double blind,
+                    int point_filter_num,
+                    float* out_xyz,
+                    double* out_t_s,
+                    float* out_intensity) {
+  const double blind2 = blind * blind;
+  const double omega_l = 0.361 * scan_rate;       // deg per ms
+  const double period = 360.0 / omega_l;          // ms per revolution
+  // per-ring unwrap state (rings are small uint16 values; 256 is generous)
+  constexpr int MAX_RINGS = 256;
+  double yaw_fp[MAX_RINGS];
+  double t_last[MAX_RINGS];
+  bool seen[MAX_RINGS];
+  std::memset(seen, 0, sizeof(seen));
+  int kept = 0;
+  for (int i = 0; i < n; ++i) {
+    const float* p = xyz + 3 * i;
+    double t_ms = 0.0;
+    bool drop = false;
+    if (has_time) {
+      t_ms = t_raw[i] * time_scale_to_ms;
+    } else {
+      const int r = ring[i] & (MAX_RINGS - 1);
+      const double yaw =
+          std::atan2((double)p[1], (double)p[0]) * 57.2957;
+      if (!seen[r]) {
+        seen[r] = true;
+        yaw_fp[r] = yaw;
+        t_last[r] = 0.0;
+        drop = true;  // reference continues past each ring's first return
+      } else {
+        double curv = yaw <= yaw_fp[r] ? (yaw_fp[r] - yaw) / omega_l
+                                       : (yaw_fp[r] - yaw + 360.0) / omega_l;
+        if (curv < t_last[r]) curv += period;
+        t_last[r] = curv;
+        t_ms = curv;
+      }
+    }
+    if (i % point_filter_num != 0 || drop) continue;
+    const double r2 = (double)p[0] * p[0] + (double)p[1] * p[1] +
+                      (double)p[2] * p[2];
+    if (!(r2 > blind2)) continue;  // strict > (velodyne_handler comparison)
+    out_xyz[3 * kept + 0] = p[0];
+    out_xyz[3 * kept + 1] = p[1];
+    out_xyz[3 * kept + 2] = p[2];
+    out_t_s[kept] = t_ms * 1e-3;
+    out_intensity[kept] = intensity ? intensity[i] : 0.0f;
+    ++kept;
+  }
+  return kept;
+}
+
 // --- hash voxel-grid downsample (PCL VoxelGrid centroid semantics) ---------
 int voxel_downsample(const float* xyz, int n, double leaf,
                      float* out_xyz /* cap n*3 */) {

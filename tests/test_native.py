@@ -91,6 +91,80 @@ def test_decode_dispatch_native_parity():
         np.testing.assert_allclose(nat.intensity, ref.intensity, atol=0)
 
 
+def _velo_cloud(n, n_rings=16, with_time=False):
+    """A spinning-lidar-like cloud: per-ring azimuth sweep with noise, in
+    interleaved ring order (the driver's point order)."""
+    az = np.linspace(0.0, 2 * np.pi * 0.98, n // n_rings)
+    elev = np.deg2rad(np.linspace(-15, 15, n_rings))
+    pts, rings, times = [], [], []
+    for i, a in enumerate(az):
+        for r in range(n_rings):
+            rad = 10.0 + RNG.uniform(-3, 3)
+            pts.append([rad * np.cos(elev[r]) * np.cos(-a),
+                        rad * np.cos(elev[r]) * np.sin(-a),
+                        rad * np.sin(elev[r])])
+            rings.append(r)
+            times.append(i * 1e-4)  # seconds within scan
+    xyz = np.asarray(pts, np.float32)
+    ring = np.asarray(rings, np.uint16)
+    t = (np.asarray(times) if with_time else np.zeros(len(xyz)))
+    return dict(
+        xyz=xyz, intensity=RNG.uniform(0, 100, len(xyz)).astype(np.float32),
+        time=t, ring=ring,
+    )
+
+
+@pytest.mark.parametrize("with_time", [False, True])
+def test_native_velodyne_matches_numpy(with_time):
+    """Velodyne native decode vs numpy — incl. the azimuth-unwrap
+    reconstruction path (the last per-point Python loop on ingest,
+    VERDICT r3 item 7).  Unwrap times agree to <1e-9 s (the only
+    difference is libm vs numpy atan2 ULPs)."""
+    from fast_lio_tpu.config import TimeUnit
+    from fast_lio_tpu.preprocess.drivers import decode
+
+    cfg = Config(lidar_type=LidarType.VELO16, blind=2.0, point_filter_num=2,
+                 scan_rate=10, time_unit=TimeUnit.SEC)
+    msg = _velo_cloud(4800, with_time=with_time)
+    nat = decode(msg, cfg, use_native=True)
+    ref = decode(msg, cfg, use_native=False)
+    assert len(nat.pts) == len(ref.pts)
+    assert len(nat.pts) > 1000  # the gates didn't degenerate
+    np.testing.assert_allclose(nat.pts, ref.pts, atol=0)
+    np.testing.assert_allclose(nat.time_offset_s, ref.time_offset_s,
+                               atol=1e-9)
+    np.testing.assert_allclose(nat.intensity, ref.intensity, atol=0)
+    if not with_time:
+        # reconstruction really happened: offsets span most of the sweep
+        assert nat.time_offset_s.max() > 0.05
+
+
+def test_native_velodyne_unwrap_wraparound():
+    """Rings whose sweep crosses the +/-pi yaw seam exercise the +360 and
+    +period fix-ups; parity must hold there too."""
+    cfg = Config(lidar_type=LidarType.VELO16, blind=0.5, point_filter_num=1,
+                 scan_rate=10)
+    n = 1200
+    # a full wrap plus a bit, starting near the seam
+    az = np.linspace(np.pi - 0.1, np.pi - 0.1 + 2 * np.pi * 1.05, n // 4)
+    pts, rings = [], []
+    for a in az:
+        for r in range(4):
+            pts.append([5 * np.cos(-a), 5 * np.sin(-a), 0.1 * r])
+            rings.append(r)
+    msg = dict(xyz=np.asarray(pts, np.float32),
+               intensity=np.ones(len(pts), np.float32),
+               time=np.zeros(len(pts)),
+               ring=np.asarray(rings, np.uint16))
+    from fast_lio_tpu.preprocess.drivers import decode
+
+    nat = decode(msg, cfg, use_native=True)
+    ref = decode(msg, cfg, use_native=False)
+    assert len(nat.pts) == len(ref.pts)
+    np.testing.assert_allclose(nat.time_offset_s, ref.time_offset_s,
+                               atol=1e-9)
+
+
 def test_native_voxel_downsample_centroids():
     n = 2000
     xyz = RNG.uniform(-5, 5, (n, 3)).astype(np.float32)
