@@ -12,7 +12,9 @@ Outputs (matching the reference's observability surface, SURVEY.md §5):
   out/trajectory_tum.txt       TUM-format trajectory (t x y z qx qy qz qw)
   out/pos_log.txt              full-state dump (dump_lio_state_to_log layout)
   out/fast_lio_time_log.csv    timing CSV (reference schema)
-  out/scans.pcd                accumulated world cloud (--pcd-save)
+  out/scans[_<i>].pcd          accumulated DENSE world scans (--pcd-save,
+                               chunked by --pcd-save-interval)
+  out/map.pcd                  live voxel map export (--map-save)
   out/checkpoint.npz           estimator+map checkpoint (--checkpoint)
 """
 from __future__ import annotations
@@ -38,7 +40,16 @@ def build_parser():
     p.add_argument("--duration", type=float, default=10.0, help="sim duration")
     p.add_argument("--max-scans", type=int, default=0)
     p.add_argument("--out", default="out")
-    p.add_argument("--pcd-save", action="store_true")
+    p.add_argument("--pcd-save", action="store_true",
+                   help="accumulate every dense world-frame scan into "
+                        "scans.pcd (the reference's pcd_save_en)")
+    p.add_argument("--pcd-save-interval", type=int, default=None,
+                   help="flush the accumulation to scans_<i>.pcd every N "
+                        "scans (reference pcd_save_interval; default -1 = "
+                        "one scans.pcd at exit)")
+    p.add_argument("--map-save", action="store_true",
+                   help="export the live voxel map to map.pcd (the "
+                        "/Laser_map surface; distinct from --pcd-save)")
     p.add_argument("--checkpoint", action="store_true")
     p.add_argument("--resume", help="checkpoint.npz to resume from")
     p.add_argument("--platform", default=None, help="jax platform override")
@@ -109,6 +120,20 @@ def main(argv=None):
     if args.profile:
         jax.profiler.start_trace(str(out / "trace"))
 
+    accum = None
+    if args.pcd_save:
+        interval = (args.pcd_save_interval if args.pcd_save_interval
+                    is not None else cfg.pcd_save_interval)
+        accum = ckpt.PcdAccumulator(out, save_interval=interval)
+    _seen = [0]
+
+    def on_scan(pipe):
+        # accumulate only for packets that actually produced an estimate
+        # (IMU-init packets return early and leave no new diag)
+        if accum is not None and len(pipe.diags) > _seen[0]:
+            _seen[0] = len(pipe.diags)
+            accum.add(*pipe.last_cloud_world_dense())
+
     t0 = time.perf_counter()
     if args.sim:
         from . import sim as simlib
@@ -126,7 +151,7 @@ def main(argv=None):
                 imu_i += 1
             pipe.push_lidar(stamp, data.scans[k], data.scan_pt_times[k])
             while pipe.spin_once():
-                pass
+                on_scan(pipe)
         ate = simlib.ate_rmse(pipe.trajectory, data)
         print(f"sim ATE RMSE: {ate * 100:.2f} cm")
     elif args.bag:
@@ -134,7 +159,7 @@ def main(argv=None):
 
         n = replay_into_pipeline(
             args.bag, pipe, args.lid_topic, args.imu_topic,
-            max_scans=args.max_scans or None,
+            max_scans=args.max_scans or None, on_scan=on_scan,
         )
         print(f"replayed {n} scans from {args.bag}")
     else:
@@ -188,11 +213,15 @@ def main(argv=None):
             )
         slog.close()
 
-    if args.pcd_save:
-        # the accumulated world map (scans.pcd analog, laserMapping.cpp:1024-1031)
+    if accum is not None:
+        written = accum.finish()
+        print(f"pcd: {accum.total_points} dense points in "
+              f"{len(written)} file(s): {written}")
+    if args.map_save:
+        # the live voxel map (/Laser_map surface, laserMapping.cpp:944-947)
         from .map.hash_map import flatten
 
-        ckpt.save_pcd(out / "scans.pcd", flatten(pipe.map))
+        ckpt.save_pcd(out / "map.pcd", flatten(pipe.map))
 
     if args.checkpoint:
         ckpt.save_pipeline(out / "checkpoint.npz", pipe)

@@ -363,8 +363,11 @@ class BagWriter:
 
 
 def replay_into_pipeline(bag_path, pipeline, lidar_topic, imu_topic,
-                         cfg=None, max_scans=None):
-    """Feed a bag through a Pipeline (the `rosbag play` analog)."""
+                         cfg=None, max_scans=None, on_scan=None):
+    """Feed a bag through a Pipeline (the `rosbag play` analog).
+
+    ``on_scan(pipeline)`` is invoked after every processed packet — the
+    publish-callback hook (pcd accumulation, live visualization, ...)."""
     import time as _time
 
     from ..preprocess.drivers import decode
@@ -372,6 +375,12 @@ def replay_into_pipeline(bag_path, pipeline, lidar_topic, imu_topic,
     cfg = cfg or pipeline.cfg
     reader = BagReader(bag_path)
     n_scans = 0
+
+    def _spin_all():
+        while pipeline.spin_once():
+            if on_scan is not None:
+                on_scan(pipeline)
+
     for topic, mtype, stamp, msg in reader.messages({lidar_topic, imu_topic}):
         if topic == imu_topic:
             pipeline.push_imu(
@@ -386,8 +395,6 @@ def replay_into_pipeline(bag_path, pipeline, lidar_topic, imu_topic,
             n_scans += 1
             if max_scans and n_scans >= max_scans:
                 break
-        while pipeline.spin_once():
-            pass
-    while pipeline.spin_once():
-        pass
+        _spin_all()
+    _spin_all()
     return n_scans

@@ -578,6 +578,21 @@ class Pipeline:
         out[3:, :3] = P[0:3, 3:6]
         return out
 
+    def last_cloud_world_dense(self):
+        """Dense world-frame cloud (+intensity) of the last processed scan —
+        the reference's laserCloudWorld in dense mode (publish_frame_world,
+        laserMapping.cpp:504-529): every deskewed return transformed by the
+        scan's posterior pose, NOT the voxel-downsampled update cloud.  Syncs
+        the device; meant for the pcd_save_en accumulation path."""
+        if self.last_pts_body is None:
+            return (np.zeros((0, 3), np.float32), np.zeros(0, np.float32))
+        pts = meas.body_to_world(self.x, self.last_pts_body)
+        mask = np.asarray(jax.device_get(self.last_pts_body_mask))
+        return (
+            np.asarray(jax.device_get(pts))[mask],
+            np.asarray(jax.device_get(self.last_pts_body_intensity))[mask],
+        )
+
     def push_lidar(self, stamp, pts, pt_time, intensity=None,
                    preprocess_time=0.0):
         self.sync.push_lidar(float(stamp), pts, pt_time, intensity,

@@ -183,20 +183,76 @@ def load_pipeline(path, pipe):
     return meta
 
 
-def save_pcd(path, pts: np.ndarray):
-    """Minimal binary PCD writer (scans.pcd parity, laserMapping.cpp:1026-1030)."""
+def save_pcd(path, pts: np.ndarray, intensity: np.ndarray = None):
+    """Minimal binary PCD writer (scans.pcd parity, laserMapping.cpp:1026-1030).
+
+    With ``intensity`` the file carries XYZI like the reference's
+    PointCloudXYZI; without it, plain XYZ."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     pts = np.asarray(pts, np.float32)
+    if intensity is not None:
+        cols = np.concatenate(
+            [pts, np.asarray(intensity, np.float32)[:, None]], axis=-1)
+        fields = ("FIELDS x y z intensity\nSIZE 4 4 4 4\nTYPE F F F F\n"
+                  "COUNT 1 1 1 1\n")
+    else:
+        cols = pts
+        fields = "FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
     header = (
         "# .PCD v0.7 - Point Cloud Data file format\n"
-        "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+        f"VERSION 0.7\n{fields}"
         f"WIDTH {len(pts)}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
         f"POINTS {len(pts)}\nDATA binary\n"
     )
     with open(path, "wb") as f:
         f.write(header.encode())
-        f.write(pts.tobytes())
+        f.write(cols.tobytes())
+
+
+class PcdAccumulator:
+    """The reference's scans.pcd semantics (laserMapping.cpp:504-529,
+    1024-1031): accumulate the DENSE world-frame cloud of every scan
+    (pcl_wait_save); with ``save_interval > 0`` the accumulation is flushed
+    to ``scans_<idx>.pcd`` every interval scans (pcd_save_interval chunking)
+    and the remainder goes to ``scans.pcd`` at shutdown.  This is a
+    different artifact from the voxel-downsampled live map export."""
+
+    def __init__(self, out_dir, save_interval: int = -1):
+        self.out_dir = Path(out_dir)
+        self.save_interval = save_interval
+        self.pts = []
+        self.intensity = []
+        self.scan_wait_num = 0
+        self.pcd_index = 0
+        self.written = []
+        self.total_points = 0
+
+    def add(self, pts: np.ndarray, intensity: np.ndarray = None):
+        self.pts.append(np.asarray(pts, np.float32))
+        self.intensity.append(
+            np.zeros(len(pts), np.float32) if intensity is None
+            else np.asarray(intensity, np.float32))
+        self.total_points += len(pts)
+        self.scan_wait_num += 1
+        if (self.total_points > 0 and self.save_interval > 0
+                and self.scan_wait_num >= self.save_interval):
+            self.pcd_index += 1
+            self._flush(self.out_dir / f"scans_{self.pcd_index}.pcd")
+
+    def _flush(self, path):
+        save_pcd(path, np.concatenate(self.pts) if self.pts
+                 else np.zeros((0, 3), np.float32),
+                 np.concatenate(self.intensity) if self.intensity
+                 else np.zeros(0, np.float32))
+        self.written.append(str(path))
+        self.pts, self.intensity, self.scan_wait_num = [], [], 0
+
+    def finish(self):
+        """Shutdown save of whatever is still accumulated (scans.pcd)."""
+        if self.pts:
+            self._flush(self.out_dir / "scans.pcd")
+        return list(self.written)
 
 
 def load_pcd(path) -> np.ndarray:
