@@ -168,7 +168,8 @@ def main():
 
     from fast_lio_tpu.pipeline import use_pallas_knn
 
-    knn_backend = ("pallas" if use_pallas_knn(cfg, pipe.map_cfg) else "xla")
+    knn_backend = (cfg.knn_backend if use_pallas_knn(cfg, pipe.map_cfg)
+                   else "xla")
 
     # pre-build packets so packet sync never interleaves with timing
     period = (float(data.scan_stamps[1] - data.scan_stamps[0])

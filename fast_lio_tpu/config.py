@@ -86,11 +86,13 @@ class Config:
     # dispatch-only.
 
     # --- TPU runtime ---
-    knn_backend: str = "auto"  # "auto" | "xla" | "pallas": map kNN engine.
+    knn_backend: str = "auto"  # "auto" | "xla" | "pallas" | "grouped".
     # auto = XLA region-gather (measured fastest on-chip end-to-end, 212.7
-    # vs 161.3 scans/s for the Pallas kernel at bench shapes — PERF.md r3);
-    # "pallas" opts into the fused kernel (identical semantics, map must
-    # fit VMEM, no rescore_research).
+    # vs 161.3 scans/s for the r3 Pallas kernel at bench shapes — PERF.md);
+    # "pallas" = the r3 fused kernel (per-query row loads); "grouped" = the
+    # r4 region-grouped kernel (map.knn_grouped: one row-set load per group
+    # of same-cell queries).  All identical semantics; kernels need the map
+    # to fit VMEM and exclude rescore_research.
     knn_wide_fallback: bool = False  # when the 2x2x2 search leaves queries
     # unsaturated (< 5 neighbors or 5th NN beyond the covered radius), re-run
     # those scans' search over the centered 3x3x3 region (coverage radius =

@@ -45,16 +45,16 @@ def use_pallas_knn(cfg: Config, map_cfg: hm.MapConfig) -> bool:
     costs more than XLA's batched gather + one-hot MXU extraction.  The
     kernel stays available as an explicit opt-in (knn_backend="pallas") and
     in tests; revisit if the map layout changes."""
-    if cfg.knn_backend == "pallas":
+    if cfg.knn_backend in ("pallas", "grouped"):
         from .map import knn_pallas as kp
 
         if not kp.supports(map_cfg):
             raise ValueError(
-                f"knn_backend='pallas' needs the packed map to fit VMEM "
-                f"(<= {kp.VMEM_MAP_LIMIT >> 20} MB); map is "
+                f"knn_backend={cfg.knn_backend!r} needs the packed map to "
+                f"fit VMEM (<= {kp.VMEM_MAP_LIMIT >> 20} MB); map is "
                 f"{(map_cfg.num_buckets * map_cfg.row_width * 4) >> 20} MB")
         if cfg.rescore_research:
-            raise ValueError("pallas kNN cannot materialize candidate "
+            raise ValueError("kernel kNN cannot materialize candidate "
                              "blocks; disable rescore_research")
         return True
     return False
@@ -77,7 +77,11 @@ def make_knn_fn(cfg: Config, map_cfg: hm.MapConfig, m: hm.Map):
         inner = _partial(hm.knn_search, m, map_cfg, return_candidates=True)
         return lambda q, mask: inner(q)
 
-    if use_pallas_knn(cfg, map_cfg):
+    if cfg.knn_backend == "grouped" and use_pallas_knn(cfg, map_cfg):
+        from .map import knn_grouped as kg
+
+        base = _partial(kg.knn_search_grouped, m, map_cfg)
+    elif use_pallas_knn(cfg, map_cfg):
         from .map import knn_pallas as kp
 
         base = _partial(kp.knn_search_pallas, m, map_cfg)

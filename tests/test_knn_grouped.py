@@ -1,0 +1,107 @@
+"""Grouped Pallas kNN kernel (map.knn_grouped) vs the XLA reference path
+(interpret mode on CPU).  Exercises exactly the structure the kernel
+exploits: many queries sharing a storage cell (voxel-downsample centroids)
+plus the degenerate cases (all-distinct cells, empty regions, ties)."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from fast_lio_tpu.map import hash_map as hm
+from fast_lio_tpu.map.knn_grouped import knn_search_grouped
+
+RNG = np.random.default_rng(11)
+CFG = hm.MapConfig(h_log2=10, bucket_slots=16, cell_size=1.0, voxel_size=0.5)
+
+
+def build_map(points):
+    m = hm.make_map(CFG, jnp.float32)
+    pts = jnp.asarray(points, jnp.float32)
+    n = pts.shape[0]
+    return hm.insert(m, CFG, pts, jnp.ones(n, bool), jnp.zeros(n, bool))
+
+
+def _compare(m, queries, wide=False):
+    nb_x, sq_x, f_x = hm.knn_search(m, CFG, jnp.asarray(queries, jnp.float32),
+                                    k=5, wide=wide)
+    nb_p, sq_p, f_p = knn_search_grouped(
+        m, CFG, jnp.asarray(queries, jnp.float32), wide=wide, interpret=True
+    )
+    sq_x, sq_p = np.asarray(sq_x), np.asarray(sq_p)
+    f_x, f_p = np.asarray(f_x), np.asarray(f_p)
+    nb_x, nb_p = np.asarray(nb_x), np.asarray(nb_p)
+    assert (f_x == f_p).all(), "found masks differ"
+    np.testing.assert_allclose(
+        np.where(f_x, sq_x, 0.0), np.where(f_p, sq_p, 0.0), rtol=1e-5,
+        atol=1e-6,
+    )
+    for i in range(len(queries)):
+        for j in range(5):
+            if not f_x[i, j]:
+                continue
+            dup = (np.abs(sq_x[i] - sq_x[i, j]) < 1e-9).sum() > 1
+            if not dup:
+                np.testing.assert_allclose(
+                    nb_x[i, j], nb_p[i, j], rtol=1e-6, atol=1e-6
+                )
+
+
+def test_grouped_matches_xla_scanlike_clusters():
+    """The design case: queries clustered ~15 per storage cell."""
+    pts = RNG.uniform(-6, 6, size=(4000, 3)).astype(np.float32)
+    m = build_map(pts)
+    centers = RNG.uniform(-5, 5, size=(12, 3))
+    q = np.concatenate([
+        c + RNG.uniform(-0.45, 0.45, size=(15, 3)) for c in centers
+    ]).astype(np.float32)  # 180 queries, ~15 per cell
+    _compare(m, q)
+
+
+def test_grouped_matches_xla_all_distinct_cells():
+    """Worst case for grouping: every query in its own cell (sparse scan)."""
+    pts = RNG.uniform(-8, 8, size=(2000, 3)).astype(np.float32)
+    m = build_map(pts)
+    g = np.stack(np.meshgrid(*[np.arange(4)] * 3, indexing="ij"), -1)
+    q = (g.reshape(-1, 3) * CFG.cell_size * 2.0 - 4.0
+         + RNG.uniform(0.1, 0.9, (64, 3))).astype(np.float32)
+    _compare(m, q)
+
+
+def test_grouped_matches_xla_sparse_and_empty_regions():
+    pts = np.concatenate([
+        RNG.uniform(-2, 2, size=(500, 3)),
+        np.array([[8.0, 8.0, 8.0], [8.3, 8.0, 8.0], [-7.0, 5.0, 0.0]]),
+    ]).astype(np.float32)
+    m = build_map(pts)
+    q = np.concatenate([
+        RNG.uniform(-2, 2, size=(16, 3)),
+        np.array([[8.1, 8.0, 8.0], [20.0, 20.0, 20.0], [-7.2, 5.1, 0.0]]),
+        np.zeros((13, 3)),
+    ]).astype(np.float32)
+    _compare(m, q)
+
+
+def test_grouped_matches_xla_wide():
+    pts = RNG.uniform(-4, 4, size=(800, 3)).astype(np.float32)
+    m = build_map(pts)
+    centers = RNG.uniform(-3, 3, size=(6, 3))
+    q = np.concatenate([
+        c + RNG.uniform(-0.45, 0.45, size=(8, 3)) for c in centers
+    ]).astype(np.float32)
+    _compare(m, q, wide=True)
+
+
+def test_grouped_not_multiple_of_8():
+    """Group machinery must not require N % 8 == 0."""
+    pts = RNG.uniform(-3, 3, size=(600, 3)).astype(np.float32)
+    m = build_map(pts)
+    q = RNG.uniform(-3, 3, size=(37, 3)).astype(np.float32)
+    _compare(m, q)
+
+
+def test_grouped_tie_lattice():
+    """Equidistant candidates: distances must still match as multisets."""
+    pts = np.stack(np.meshgrid(*[np.arange(6) * 0.5] * 3, indexing="ij"),
+                   -1).reshape(-1, 3).astype(np.float32)
+    m = build_map(pts)
+    q = (pts[::7] + 0.25).astype(np.float32)
+    _compare(m, q)
