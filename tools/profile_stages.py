@@ -144,13 +144,20 @@ def f_update(n, m, x, P):
 
 
 def f_insert(n, m):
-    def body(i, mm):
+    def body(i, carry):
+        mm, acc = carry
+        # perturb the points per iteration: insert's two argsorts key on
+        # pts-derived values only, so constant inputs get HOISTED out of the
+        # loop and the row reads as ~0.06 ms instead of the true ~0.5 ms
+        # (r4 fix; cross-checked against the ablation bracket in PERF.md)
+        p = pts_ds + acc * 1e-12
         add, dsf = hm.insert_decisions(
-            pts_ds, ds_mask, jnp.zeros((N_DS, 5, 3), DT),
+            p, ds_mask, jnp.zeros((N_DS, 5, 3), DT),
             jnp.zeros((N_DS, 5), bool), jnp.asarray(True),
             cfg.filter_size_map)
-        return hm.insert(mm, map_cfg, pts_ds, add, dsf)
-    return loop(body, n, m)
+        mm = hm.insert(mm, map_cfg, p, add, dsf)
+        return (mm, acc + jnp.sum(mm.packed[0, :1]))
+    return loop(body, n, (m, jnp.asarray(0.0, DT)))[0]
 
 
 def f_prune(n, m):
