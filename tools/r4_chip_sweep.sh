@@ -32,4 +32,7 @@ run bench_ouster 1200 python bench.py ouster64
 # 4. stage table (fixed insert row) + sharding intercept
 run profile_avia 900 python tools/profile_stages.py avia
 run scaling_intercept 1200 python tools/bench_scaling.py
+# 5. per-search kNN backend microbench (keep-vs-demote evidence)
+run knn_micro_avia 900 python tools/microbench_grouped.py avia
+run knn_micro_sparse 900 python tools/microbench_grouped.py sparse
 echo "sweep done -> $OUT"
