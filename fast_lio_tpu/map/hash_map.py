@@ -395,26 +395,35 @@ def insert(
     mid = _voxel_center(pts, cfg.voxel_size)
     d_mid = jnp.sum((pts - mid) ** 2, axis=-1)
 
-    # ---- intra-batch dedup among downsample-on points -------------------
-    # pack voxel coords relative to the batch min into a sortable key;
-    # one scan spans << 2^10 voxels per axis, so 10 bits/axis is exact here.
+    # ---- voxel key + bucket -------------------------------------------
+    # voxel coords relative to the MASKED batch min (points are world-frame,
+    # so a static origin cannot bound them over a long run; the masked span
+    # is bounded by the local-map cube, far below 2^10 voxels per axis, so
+    # in-mask keys are exact — the ADVICE-r3 ref-shift hazard needs an
+    # in-MASK outlier, which the cube prune excludes by construction).
     ref = jnp.min(jnp.where(add_mask[:, None], vox, 2**30), axis=0)
     rel = jnp.clip(vox - ref, 0, 1023)
     key = (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]
     live_ds = jnp.logical_and(add_mask, downsample)
-    # sort (key, d_mid): the first entry of each key-group is the winner
+    cell = _cell_of(pts, cfg.cell_size)
+    bucket = _bucket_of(cell, cfg.h_log2)  # (N,)
+
+    # ---- ONE sort serves both passes (r4: was two argsorts) -----------
+    # order by (bucket[dead->H], voxel key, d_mid): voxel runs are contiguous
+    # (a voxel nests in one cell => one bucket), so the dedup winner is the
+    # first entry of each key run, AND bucket runs are contiguous, so append
+    # ranks fall out of a segmented cumsum over the same order.
     big = jnp.int32(2**30)
-    sort_key = jnp.where(live_ds, key, big)
-    order = jnp.lexsort((d_mid, sort_key))
-    sk = sort_key[order]
+    bucket_key = jnp.where(add_mask, bucket, jnp.int32(H))
+    dedup_key = jnp.where(live_ds, key, big)
+    order = jnp.lexsort((d_mid, dedup_key, bucket_key))
+    sk = dedup_key[order]
     is_first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
     winner_sorted = jnp.logical_and(is_first, sk < big)
     winner = jnp.zeros(N, dtype=bool).at[order].set(winner_sorted)
     live = jnp.logical_or(winner, jnp.logical_and(add_mask, ~downsample))
 
     # ---- per-candidate bucket + slot inspection --------------------------
-    cell = _cell_of(pts, cfg.cell_size)
-    bucket = _bucket_of(cell, cfg.h_log2)  # (N,)
     rows = m.packed[bucket]  # (N, W)
     sx, sy, sz = rows[:, :B], rows[:, B:2 * B], rows[:, 2 * B:3 * B]
     slot_ok = rows[:, 3 * B:] == 0.0  # (N, B)
@@ -439,16 +448,19 @@ def insert(
     # no-downsample points
     do_append = jnp.logical_and(live, jnp.logical_not(jnp.logical_and(is_ds, has_same)))
 
-    # ---- append slot assignment (rank within bucket) ---------------------
-    app_bucket = jnp.where(do_append, bucket, H)  # H = sentinel
-    order2 = jnp.argsort(app_bucket)
-    sb = app_bucket[order2]
-    first2 = jnp.concatenate([jnp.array([True]), sb[1:] != sb[:-1]])
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first2, jnp.arange(N), 0)
+    # ---- append slot assignment: rank among appenders within the bucket,
+    # computed in the SAME sorted order (segmented exclusive cumsum).  Which
+    # appender gets which free slot is arbitrary — it only picks overflow
+    # victims when a bucket fills, and those are counted, not silent.
+    sb = bucket_key[order]
+    first_b = jnp.concatenate([jnp.array([True]), sb[1:] != sb[:-1]])
+    flag = do_append[order].astype(jnp.int32)
+    ex_cumsum = jnp.cumsum(flag) - flag  # exclusive
+    seg_base = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first_b, ex_cumsum, 0)
     )
-    rank_sorted = jnp.arange(N) - seg_start
-    rank = jnp.zeros(N, jnp.int32).at[order2].set(rank_sorted.astype(jnp.int32))
+    rank_sorted = ex_cumsum - seg_base
+    rank = jnp.zeros(N, jnp.int32).at[order].set(rank_sorted.astype(jnp.int32))
 
     # free slots of each candidate's bucket, in ascending slot order
     free_order = jnp.argsort(slot_ok, axis=-1, stable=True)  # False first
