@@ -12,6 +12,8 @@ no-arg invocation is unchanged): the SURVEY §6 sensor envelope.
   mid360            100 Hz small scans (~640 pts), 0.5 m voxels
   velodyne_outdoor  16-ring outdoor 90x90 m hall, sparse remedy on
                     (the proven test_sparse_regime e2e geometry)
+  avia_batchN       N independent avia streams through ONE vmapped step
+                    (aggregate scans/s; fast_lio_tpu.batch serving mode)
 
 Measurement discipline (round 2):
   * REAL synchronization — jax.block_until_ready does NOT block on the axon
@@ -150,6 +152,87 @@ def _scenario(name):
     raise SystemExit(f"unknown scenario {name!r}")
 
 
+def main_batch(n_streams=4):
+    """avia_batchN: N independent avia streams through ONE vmapped step
+    (fast_lio_tpu.batch) — the TPU batch-serving capability the reference's
+    one-node-per-trajectory architecture cannot express.  Reports AGGREGATE
+    scans/s across streams (per-stream latency stays ~1 round)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fast_lio_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+
+    from fast_lio_tpu import sim as simlib
+    from fast_lio_tpu.batch import BatchPipeline
+
+    cfg, _ = _scenario("avia")
+    datas = [
+        simlib.generate(simlib.SimConfig(duration=10.0, n_rings=16,
+                                         n_azimuth=400, seed=s))
+        for s in range(n_streams)
+    ]
+    bp = BatchPipeline(cfg, n_streams)
+
+    def drain():
+        return float(np.asarray(jax.device_get(bp.P))[0, 0, 0])
+
+    imu_i = [0] * n_streams
+    n_rounds = max(len(d.scans) for d in datas)
+
+    def feed_round(k):
+        for i, d in enumerate(datas):
+            if k >= len(d.scans):
+                continue
+            stamp = d.scan_stamps[k]
+            end = stamp + 0.1
+            while imu_i[i] < len(d.imu_t) and d.imu_t[imu_i[i]] <= end + 1e-9:
+                bp.push_imu(i, d.imu_t[imu_i[i]], d.imu_acc[imu_i[i]],
+                            d.imu_gyr[imu_i[i]])
+                imu_i[i] += 1
+            bp.push_lidar(i, stamp, d.scans[k], d.scan_pt_times[k])
+
+    # warm-up rounds (compiles)
+    k = 0
+    while k < n_rounds and len(bp.trajectory[0]) < N_WARM:
+        feed_round(k)
+        while bp.spin_once():
+            pass
+        k += 1
+    drain()
+
+    t0 = time.perf_counter()
+    scans0 = sum(len(t) for t in bp.trajectory)
+    while k < n_rounds:
+        feed_round(k)
+        while bp.spin_once():
+            pass
+        k += 1
+    drain()
+    wall = time.perf_counter() - t0
+    scans = sum(len(t) for t in bp.trajectory) - scans0
+    sps = scans / wall
+
+    ates = [simlib.ate_rmse(
+        [(t, p, q) for t, p, q in bp.get_trajectory(i)], datas[i])
+        for i in range(n_streams)]
+    result = {
+        "metric": "lio_scan_rate",
+        "value": round(sps, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(sps / 100.0, 3),
+        "extra": {
+            "scenario": f"avia_batch{n_streams}",
+            "aggregate_over_streams": n_streams,
+            "ate_rmse_m_per_stream": [round(a, 4) for a in ates],
+            "scans": scans,
+            "platform": str(jax.devices()[0].platform),
+        },
+    }
+    print(json.dumps(result))
+
+
 def main():
     import jax
 
@@ -163,6 +246,8 @@ def main():
     from fast_lio_tpu.pipeline import Pipeline
 
     scenario = sys.argv[1] if len(sys.argv) > 1 else "avia"
+    if scenario.startswith("avia_batch"):
+        return main_batch(int(scenario[len("avia_batch"):] or 4))
     cfg, data = _scenario(scenario)
     pipe = Pipeline(cfg)
 

@@ -1,0 +1,240 @@
+"""Batched multi-stream LIO — vmap the fused per-scan step over B
+independent scan streams.
+
+A capability the reference architecture cannot express: its pipeline is one
+mutex-guarded ROS node per trajectory (laserMapping.cpp:756-1019).  Here
+the per-scan step is a pure function of (state, P, map, carry, buf), so B
+independent streams batch into ONE jitted vmapped step: one dispatch + one
+h2d per scan ROUND instead of per scan, and the chip sees B× wider ops.
+Intended for offline fleet mapping / multi-bag batch replay — the TPU
+analog of batched inference serving.
+
+Semantics: each stream runs EXACTLY the single-Pipeline math (same lio_step,
+vmapped); streams advance in lockstep rounds — one packet per stream per
+round.  Streams that run out of packets early are fed a zero-point no-op
+packet (n=0, do_update=0) which leaves their state untouched, so unequal
+recordings are handled, just without reclaiming their lanes.
+
+Restrictions (documented, asserted):
+  * one Config for all streams (shapes/compile must match);
+  * the IMU static-init phase completes per stream on the host (same as
+    Pipeline); the batch starts stepping when every stream is initialized.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import imu as imu_mod
+from . import state as st
+from .config import Config
+from .filter import process
+from .map import hash_map as hm
+from .pipeline import Pipeline, ScanPacket, StepDiag, SyncBuffer, lio_step
+
+
+class BatchPipeline:
+    """B lockstep LIO streams over one vmapped jitted step."""
+
+    def __init__(self, cfg: Config, n_streams: int):
+        assert n_streams >= 1
+        self.cfg = cfg
+        self.B = n_streams
+        self.dtype = jnp.dtype(cfg.compute_dtype)
+        self.map_cfg = hm.make_config(
+            voxel_size=cfg.filter_size_map,
+            h_log2=cfg.map_h_log2,
+            bucket_slots=cfg.map_bucket_slots,
+            cell_multiplier=cfg.map_cell_multiplier,
+        )
+        self.sync = [SyncBuffer(cfg) for _ in range(self.B)]
+
+        # batched estimator state: leading axis = stream
+        rep = lambda t: jnp.broadcast_to(t, (self.B,) + t.shape)
+        self.x = jax.tree_util.tree_map(rep, st.identity_state(self.dtype))
+        self.P = rep(jnp.eye(st.DOF, dtype=self.dtype))
+        self.Q = process.process_noise_cov(
+            cfg.gyr_cov, cfg.acc_cov, cfg.b_gyr_cov, cfg.b_acc_cov, self.dtype
+        )  # shared, unbatched
+        self.map = jax.tree_util.tree_map(
+            rep, hm.make_map(self.map_cfg, self.dtype))
+        self.imu_carry = jax.tree_util.tree_map(
+            rep, imu_mod.init_imu_carry(self.dtype))
+        self.lm_state = (
+            jnp.zeros((self.B, 3), self.dtype),
+            jnp.zeros((self.B, 3), self.dtype),
+            jnp.zeros((self.B,), bool),
+        )
+
+        # per-stream host state (mirrors Pipeline)
+        self.imu_stats = [imu_mod.empty_stats() for _ in range(self.B)]
+        self.imu_need_init = [True] * self.B
+        self.acc_scale = [1.0] * self.B
+        self.first_lidar_time: List[Optional[float]] = [None] * self.B
+        self.last_lidar_end_time = [0.0] * self.B
+        self.map_built = [False] * self.B
+        self.trajectory: List[List] = [[] for _ in range(self.B)]
+        self.diags: List[List[StepDiag]] = [[] for _ in range(self.B)]
+        self._helper = Pipeline.__new__(Pipeline)  # for _pack_buf reuse
+        self._helper.cfg = cfg
+        self._helper.pad_buckets = tuple(sorted(set(
+            cfg.pad_buckets or (cfg.n_points_max,))))
+        # a popped packet owns its IMU block (pop consumes the imu buffers),
+        # so a packet that cannot run yet is STASHED, never re-queued
+        self._pending: List[Optional[ScanPacket]] = [None] * self.B
+
+        self._step_fn = self._build_step()
+
+    def _build_step(self):
+        cfg, map_cfg = self.cfg, self.map_cfg
+        inner = partial(lio_step, cfg, map_cfg)
+        M = cfg.n_imu_max
+
+        def packed(x, P, m, imu_carry, Q, buf, lm_lo, lm_hi, lm_init):
+            scalars = buf[:8]
+            imu = buf[8:8 + M * 7].reshape(M, 7)
+            N = (buf.shape[0] - 8 - M * 7) // 5
+            o = 8 + M * 7
+            pts = buf[o:o + N * 3].reshape(N, 3)
+            pt_time = buf[o + N * 3:o + N * 4]
+            pt_int = buf[o + N * 4:o + N * 5]
+            n_pts = scalars[3].astype(jnp.int32)
+            n_imu = scalars[4].astype(jnp.int32)
+            pt_mask = jnp.arange(N) < n_pts
+            imu_mask = jnp.arange(M) < n_imu
+            imu_t = jnp.where(imu_mask, imu[:, 0], 1e9)
+            return inner(
+                x, P, m, imu_carry, Q,
+                imu_t, imu[:, 1:4], imu[:, 4:7], imu_mask,
+                scalars[0], scalars[1], scalars[2],
+                pts, pt_time, pt_mask, pt_int,
+                lm_lo, lm_hi, lm_init,
+                scalars[5] > 0.5, scalars[6] > 0.5,
+            )
+
+        vstep = jax.vmap(
+            packed, in_axes=(0, 0, 0, 0, None, 0, 0, 0, 0))
+        return jax.jit(vstep, donate_argnums=(2,))
+
+    # ---------------- feeding ----------------
+
+    def push_imu(self, i: int, t, acc, gyr):
+        self.sync[i].push_imu(float(t), acc, gyr)
+
+    def push_lidar(self, i: int, stamp, pts, pt_time, intensity=None):
+        self.sync[i].push_lidar(float(stamp), pts, pt_time, intensity)
+
+    def _host_init(self, i: int, pkt: ScanPacket) -> bool:
+        """Per-stream IMU static init (Pipeline.process_packet's init arm).
+        Returns True if the packet was consumed by the init phase."""
+        cfg = self.cfg
+        if self.first_lidar_time[i] is None:
+            self.first_lidar_time[i] = pkt.lidar_beg_time
+        if not self.imu_need_init[i]:
+            return False
+        if len(pkt.imu_t):
+            self.imu_stats[i] = imu_mod.update_stats(
+                self.imu_stats[i], pkt.imu_acc, pkt.imu_gyr)
+            if self.imu_stats[i].n > cfg.max_ini_count:
+                x0, P0 = imu_mod.make_init_state(
+                    self.imu_stats[i], cfg.extrinsic_R_mat,
+                    cfg.extrinsic_T_vec, self.dtype)
+                self.x = jax.tree_util.tree_map(
+                    lambda b, v: b.at[i].set(v), self.x, x0)
+                self.P = self.P.at[i].set(P0)
+                self.acc_scale[i] = float(
+                    st.G_M_S2 / np.linalg.norm(self.imu_stats[i].mean_acc))
+                self.imu_need_init[i] = False
+        self.last_lidar_end_time[i] = pkt.lidar_end_time
+        return True
+
+    def spin_once(self) -> bool:
+        """Run one lockstep round.  Fires when every initialized stream has
+        a packet (streams still in IMU init consume theirs on the host).
+        Returns True if a device round ran."""
+        cfg = self.cfg
+        # drain init-phase packets per stream; stash the first runnable one
+        pkts: List[Optional[ScanPacket]] = list(self._pending)
+        for i in range(self.B):
+            while pkts[i] is None:
+                p = self.sync[i].pop_packet()
+                if p is None:
+                    break
+                if self._host_init(i, p):
+                    continue
+                pkts[i] = p
+        if not any(p is not None for p in pkts):
+            return False
+        if any(self.imu_need_init):
+            # a stream is still initializing: hold the round (lockstep)
+            self._pending = pkts
+            return False
+        self._pending = [None] * self.B
+
+        pad = max(
+            (self._helper._pad_for(len(p.pts)) for p in pkts
+             if p is not None),
+            default=cfg.n_points_max,
+        )
+        self._helper.acc_scale = 1.0
+        bufs = []
+        t0 = time.perf_counter()
+        for i, p in enumerate(pkts):
+            if p is None:  # exhausted stream: no-op packet
+                empty = ScanPacket(
+                    lidar_beg_time=self.last_lidar_end_time[i],
+                    lidar_end_time=self.last_lidar_end_time[i],
+                    pts=np.zeros((0, 3), np.float32),
+                    pt_time=np.zeros(0),
+                    imu_t=np.zeros(0), imu_acc=np.zeros((0, 3)),
+                    imu_gyr=np.zeros((0, 3)))
+                self._helper.acc_scale = self.acc_scale[i]
+                buf = self._helper._pack_buf(empty, 0.0, 0.0, False, False,
+                                             n_max=pad)
+                buf[6] = 0.0  # no update
+                bufs.append(buf)
+                continue
+            self._helper.acc_scale = self.acc_scale[i]
+            last_end_rel = self.last_lidar_end_time[i] - p.lidar_beg_time
+            pcl_end_rel = p.lidar_end_time - p.lidar_beg_time
+            ekf_inited = (
+                p.lidar_beg_time - self.first_lidar_time[i]) >= cfg.init_time
+            bufs.append(self._helper._pack_buf(
+                p, last_end_rel, pcl_end_rel, ekf_inited,
+                self.map_built[i], n_max=pad))
+            self.last_lidar_end_time[i] = p.lidar_end_time
+        batch = jnp.asarray(np.stack(bufs))
+
+        (self.x, self.P, self.map, self.imu_carry, self.lm_state, clouds, d
+         ) = self._step_fn(self.x, self.P, self.map, self.imu_carry, self.Q,
+                           batch, *self.lm_state)
+        for i, p in enumerate(pkts):
+            if p is None:
+                continue
+            if not self.map_built[i]:
+                self.map_built[i] = int(d["n_down"][i]) > 5
+            diag = StepDiag(n_raw=len(p.pts))
+            diag.n_down = d["n_down"][i]
+            diag.n_effective = d["n_eff"][i]
+            diag.iterations = d["iters"][i]
+            diag.map_size = d["map_size"][i]
+            diag.total_time = time.perf_counter() - t0
+            self.diags[i].append(diag)
+            self.trajectory[i].append(
+                (p.lidar_end_time,
+                 jax.tree_util.tree_map(lambda t: t[i], self.x).pos,
+                 jax.tree_util.tree_map(lambda t: t[i], self.x).rot))
+        return True
+
+    def get_trajectory(self, i: int):
+        return [
+            (t, np.asarray(jax.device_get(p), np.float64),
+             np.asarray(jax.device_get(q), np.float64))
+            for t, p, q in self.trajectory[i]
+        ]

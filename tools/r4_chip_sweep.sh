@@ -25,6 +25,8 @@ print('alive', float(np.asarray(jax.device_get(jnp.ones((2,2))+1))[0,0]))" \
 run bench_avia 900 python bench.py
 # 2. grouped kernel e2e (the item-8 keep-vs-demote decision)
 run bench_avia_grouped 900 env FAST_LIO_KNN=grouped python bench.py
+# 2b. batch-serving aggregate throughput
+run bench_batch4 1200 python bench.py avia_batch4
 # 3. the other envelope scenarios
 run bench_mid360 900 python bench.py mid360
 run bench_velodyne 900 python bench.py velodyne_outdoor
