@@ -98,6 +98,44 @@ def test_grouped_not_multiple_of_8():
     _compare(m, q)
 
 
+def test_grouped_backend_pipeline_e2e(monkeypatch):
+    """knn_backend='grouped' through the FULL pipeline (make_knn_fn wiring,
+    update loop, insert feedback) — interpret mode so it runs on CPU."""
+    import functools
+
+    from fast_lio_tpu import sim as simlib
+    from fast_lio_tpu.config import Config, LidarType
+    from fast_lio_tpu.map import knn_grouped as kg
+    from fast_lio_tpu.pipeline import Pipeline
+
+    real = kg.knn_search_grouped
+    monkeypatch.setattr(kg, "knn_search_grouped",
+                        functools.partial(real, interpret=True))
+
+    cfg = Config(
+        lidar_type=LidarType.AVIA, filter_size_surf=0.3, filter_size_map=0.3,
+        n_points_max=1024, n_ds_max=512, n_imu_max=32, map_h_log2=11,
+        det_range=40.0, cube_side_length=300.0, knn_backend="grouped",
+    )
+    data = simlib.generate(simlib.SimConfig(duration=1.5, n_rings=8,
+                                            n_azimuth=100))
+    pipe = Pipeline(cfg)
+    imu_i = 0
+    for k in range(len(data.scans)):
+        stamp = data.scan_stamps[k]
+        end = stamp + 0.1
+        while imu_i < len(data.imu_t) and data.imu_t[imu_i] <= end + 1e-9:
+            pipe.push_imu(data.imu_t[imu_i], data.imu_acc[imu_i],
+                          data.imu_gyr[imu_i])
+            imu_i += 1
+        pipe.push_lidar(stamp, data.scans[k], data.scan_pt_times[k])
+        while pipe.spin_once():
+            pass
+    ate = simlib.ate_rmse(pipe.trajectory, data)
+    assert ate < 0.05, f"grouped-backend pipeline ATE {ate*100:.1f} cm"
+    assert int(pipe.diags[-1].n_effective) > 100
+
+
 def test_grouped_tie_lattice():
     """Equidistant candidates: distances must still match as multisets."""
     pts = np.stack(np.meshgrid(*[np.arange(6) * 0.5] * 3, indexing="ij"),
