@@ -33,7 +33,10 @@ def build_parser():
     p = argparse.ArgumentParser(prog="fast_lio_tpu")
     p.add_argument("--preset", default="avia",
                    help="sensor preset: avia|horizon|mid360|ouster64|velodyne|marsim")
-    p.add_argument("--bag", help="ROS1 bag to replay")
+    p.add_argument("--bag", action="append",
+                   help="ROS1 bag to replay; repeat the flag to replay "
+                        "SEVERAL bags as lockstep streams through one "
+                        "vmapped step (fast_lio_tpu.batch fleet mode)")
     p.add_argument("--lid-topic", default="/livox/lidar")
     p.add_argument("--imu-topic", default="/livox/imu")
     p.add_argument("--sim", action="store_true", help="run the synthetic world")
@@ -154,14 +157,68 @@ def main(argv=None):
                 on_scan(pipe)
         ate = simlib.ate_rmse(pipe.trajectory, data)
         print(f"sim ATE RMSE: {ate * 100:.2f} cm")
+    elif args.bag and len(args.bag) > 1:
+        # fleet mode: one vmapped step over all bags (fast_lio_tpu.batch)
+        from .batch import BatchPipeline
+        from .io.rosbag import BagReader
+        from .preprocess.drivers import decode
+
+        bp = BatchPipeline(cfg, len(args.bag))
+        readers = [
+            BagReader(b).messages({args.lid_topic, args.imu_topic})
+            for b in args.bag
+        ]
+        live = [True] * len(readers)
+        counts = [0] * len(readers)
+        while any(live):
+            for i, r in enumerate(readers):
+                if not live[i]:
+                    continue
+                try:
+                    topic, _mt, _stamp, msg = next(r)
+                except StopIteration:
+                    live[i] = False
+                    continue
+                if topic == args.imu_topic:
+                    bp.push_imu(i, msg["stamp"], msg["linear_acceleration"],
+                                msg["angular_velocity"])
+                else:
+                    scan = decode(msg, cfg)
+                    bp.push_lidar(i, msg["stamp"], scan.pts,
+                                  scan.time_offset_s, scan.intensity)
+                    counts[i] += 1
+                    if args.max_scans and counts[i] >= args.max_scans:
+                        live[i] = False
+            while bp.spin_once():
+                pass
+        while bp.spin_once():
+            pass
+        # per-stream outputs; the single-stream output block below still
+        # writes stream 0's artifacts for compatibility
+        for i in range(len(args.bag)):
+            d = out / f"stream{i}"
+            d.mkdir(parents=True, exist_ok=True)
+            with open(d / "trajectory_tum.txt", "w") as f:
+                for t, pq, q in bp.get_trajectory(i):
+                    f.write(f"{t:.6f} {pq[0]:.6f} {pq[1]:.6f} {pq[2]:.6f} "
+                            f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n")
+        total = sum(len(t) for t in bp.trajectory)
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "streams": len(args.bag), "scans_total": total,
+            "wall_s": round(wall, 3),
+            "aggregate_scans_per_sec": round(total / max(wall, 1e-9), 2),
+            "out": str(out),
+        }))
+        return 0
     elif args.bag:
         from .io.rosbag import replay_into_pipeline
 
         n = replay_into_pipeline(
-            args.bag, pipe, args.lid_topic, args.imu_topic,
+            args.bag[0], pipe, args.lid_topic, args.imu_topic,
             max_scans=args.max_scans or None, on_scan=on_scan,
         )
-        print(f"replayed {n} scans from {args.bag}")
+        print(f"replayed {n} scans from {args.bag[0]}")
     else:
         print("nothing to do: pass --bag or --sim", file=sys.stderr)
         return 1

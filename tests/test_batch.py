@@ -41,6 +41,68 @@ def _feed_single(cfg, data):
     return pipe
 
 
+def _write_avia_bag(path, data):
+    from fast_lio_tpu.io.rosbag import (BagWriter, serialize_imu,
+                                        serialize_livox)
+
+    w = BagWriter(path)
+    imu_i = 0
+    for k in range(len(data.scans)):
+        stamp = float(data.scan_stamps[k])
+        while imu_i < len(data.imu_t) and data.imu_t[imu_i] <= stamp + 1e-9:
+            w.write("/livox/lidar_imu", "sensor_msgs/Imu",
+                    float(data.imu_t[imu_i]),
+                    serialize_imu(float(data.imu_t[imu_i]),
+                                  data.imu_acc[imu_i], data.imu_gyr[imu_i]))
+            imu_i += 1
+        pts = data.scans[k]
+        n = len(pts)
+        w.write("/livox/lidar", "livox_ros_driver/CustomMsg", stamp,
+                serialize_livox(
+                    stamp, pts, np.ones(n, np.float32),
+                    (data.scan_pt_times[k] * 1e9).astype(np.uint32),
+                    np.full(n, 0x10, np.uint8),
+                    (np.arange(n) % 6).astype(np.uint8)))
+    while imu_i < len(data.imu_t):
+        w.write("/livox/lidar_imu", "sensor_msgs/Imu",
+                float(data.imu_t[imu_i]),
+                serialize_imu(float(data.imu_t[imu_i]),
+                              data.imu_acc[imu_i], data.imu_gyr[imu_i]))
+        imu_i += 1
+    w.close()
+
+
+def test_cli_multi_bag_fleet_mode(tmp_path):
+    """--bag A --bag B runs both through one vmapped step and writes
+    per-stream trajectories."""
+    import dataclasses
+
+    from fast_lio_tpu import cli
+    from fast_lio_tpu.config import PRESETS
+
+    datas = [_gen(0, 1.5), _gen(1, 1.5)]
+    bags = []
+    for i, d in enumerate(datas):
+        b = tmp_path / f"s{i}.bag"
+        _write_avia_bag(b, d)
+        bags.append(str(b))
+    rc = cli.main([
+        "--preset", "avia", "--bag", bags[0], "--bag", bags[1],
+        "--lid-topic", "/livox/lidar", "--imu-topic", "/livox/lidar_imu",
+        "--out", str(tmp_path / "out"),
+        "--point-filter-num", "1", "--blind", "0.3",
+    ])
+    assert rc == 0
+    for i, d in enumerate(datas):
+        traj = np.loadtxt(tmp_path / "out" / f"stream{i}" /
+                          "trajectory_tum.txt")
+        assert len(traj) > 8
+        est = traj[:, 1:4]
+        gt = d.gt_pos[:len(est)]
+        err = (est - (est[0] - gt[0])) - gt
+        assert np.sqrt((err ** 2).sum(-1).mean()) < 0.15
+
+
 def test_batch_matches_single_pipelines():
     cfg = _cfg()
     # stream 1 is SHORTER: exercises the exhausted-stream no-op lanes
