@@ -184,6 +184,7 @@ def main_batch(n_streams=4):
     def feed_round(k):
         for i, d in enumerate(datas):
             if k >= len(d.scans):
+                bp.mark_done(i)
                 continue
             stamp = d.scan_stamps[k]
             end = stamp + 0.1

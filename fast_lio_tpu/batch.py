@@ -11,9 +11,10 @@ analog of batched inference serving.
 
 Semantics: each stream runs EXACTLY the single-Pipeline math (same lio_step,
 vmapped); streams advance in lockstep rounds — one packet per stream per
-round.  Streams that run out of packets early are fed a zero-point no-op
-packet (n=0, do_update=0) which leaves their state untouched, so unequal
-recordings are handled, just without reclaiming their lanes.
+round, and a round fires only when every stream is ready or declared ended
+via ``mark_done(i)``.  Ended streams ride along as zero-point no-op lanes
+(n=0, do_update=0, state untouched), so unequal recordings are handled,
+just without reclaiming their lanes.
 
 Restrictions (documented, asserted):
   * one Config for all streams (shapes/compile must match);
@@ -88,6 +89,9 @@ class BatchPipeline:
         # a popped packet owns its IMU block (pop consumes the imu buffers),
         # so a packet that cannot run yet is STASHED, never re-queued
         self._pending: List[Optional[ScanPacket]] = [None] * self.B
+        self.done = [False] * self.B  # feeder-declared end of stream
+        self.truncated_points = [0] * self.B
+        self._warned_truncation = False
 
         self._step_fn = self._build_step()
 
@@ -154,10 +158,16 @@ class BatchPipeline:
         self.last_lidar_end_time[i] = pkt.lidar_end_time
         return True
 
+    def mark_done(self, i: int):
+        """Feeder declares stream i ended: the lockstep no longer waits for
+        it (its lanes run no-op packets)."""
+        self.done[i] = True
+
     def spin_once(self) -> bool:
-        """Run one lockstep round.  Fires when every initialized stream has
-        a packet (streams still in IMU init consume theirs on the host).
-        Returns True if a device round ran."""
+        """Run one lockstep round.  Fires only when EVERY stream is either
+        ready (has a packet past IMU init) or declared done via mark_done —
+        so misaligned feeds batch properly instead of burning B-wide rounds
+        with one live lane.  Returns True if a device round ran."""
         cfg = self.cfg
         # drain init-phase packets per stream; stash the first runnable one
         pkts: List[Optional[ScanPacket]] = list(self._pending)
@@ -169,12 +179,18 @@ class BatchPipeline:
                 if self._host_init(i, p):
                     continue
                 pkts[i] = p
+        self._pending = pkts
         if not any(p is not None for p in pkts):
             return False
-        if any(self.imu_need_init):
-            # a stream is still initializing: hold the round (lockstep)
-            self._pending = pkts
-            return False
+        ready = all(
+            p is not None or self.done[i]
+            for i, p in enumerate(pkts)
+        )
+        init_pending = any(
+            self.imu_need_init[i] and not self.done[i] for i in range(self.B)
+        )
+        if not ready or init_pending:
+            return False  # hold the round (lockstep); packets stay stashed
         self._pending = [None] * self.B
 
         pad = max(
@@ -201,6 +217,17 @@ class BatchPipeline:
                 bufs.append(buf)
                 continue
             self._helper.acc_scale = self.acc_scale[i]
+            trunc = max(0, len(p.pts) - pad)
+            if trunc:  # mirror Pipeline.process_packet's accounting
+                self.truncated_points[i] += trunc
+                if not self._warned_truncation:
+                    self._warned_truncation = True
+                    import warnings
+
+                    warnings.warn(
+                        f"stream {i}: scan of {len(p.pts)} points exceeds "
+                        f"the largest pad bucket {pad}; {trunc} points "
+                        "dropped (counted in BatchPipeline.truncated_points)")
             last_end_rel = self.last_lidar_end_time[i] - p.lidar_beg_time
             pcl_end_rel = p.lidar_end_time - p.lidar_beg_time
             ekf_inited = (

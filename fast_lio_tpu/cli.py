@@ -115,10 +115,27 @@ def main(argv=None):
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
-    pipe = Pipeline(cfg)
-    if args.resume:
-        ckpt.load_pipeline(args.resume, pipe)
-        print(f"resumed from {args.resume}")
+    fleet = bool(args.bag) and len(args.bag) > 1
+    if fleet:
+        # single-stream-only surfaces: reject explicitly rather than
+        # silently ignore (each binds to ONE Pipeline's state)
+        blocked = [name for name, on in [
+            ("--resume", args.resume), ("--pcd-save", args.pcd_save),
+            ("--map-save", args.map_save), ("--checkpoint", args.checkpoint),
+            ("--health", args.health), ("--stage-timing", args.stage_timing),
+            ("--runtime-pos-log", args.runtime_pos_log),
+        ] if on]
+        if blocked:
+            print(f"fleet mode (multiple --bag) does not support: "
+                  f"{', '.join(blocked)}", file=sys.stderr)
+            return 2
+
+    pipe = None
+    if not fleet:
+        pipe = Pipeline(cfg)
+        if args.resume:
+            ckpt.load_pipeline(args.resume, pipe)
+            print(f"resumed from {args.resume}")
 
     if args.profile:
         jax.profiler.start_trace(str(out / "trace"))
@@ -157,7 +174,7 @@ def main(argv=None):
                 on_scan(pipe)
         ate = simlib.ate_rmse(pipe.trajectory, data)
         print(f"sim ATE RMSE: {ate * 100:.2f} cm")
-    elif args.bag and len(args.bag) > 1:
+    elif fleet:
         # fleet mode: one vmapped step over all bags (fast_lio_tpu.batch)
         from .batch import BatchPipeline
         from .io.rosbag import BagReader
@@ -178,6 +195,7 @@ def main(argv=None):
                     topic, _mt, _stamp, msg = next(r)
                 except StopIteration:
                     live[i] = False
+                    bp.mark_done(i)
                     continue
                 if topic == args.imu_topic:
                     bp.push_imu(i, msg["stamp"], msg["linear_acceleration"],
@@ -189,12 +207,23 @@ def main(argv=None):
                     counts[i] += 1
                     if args.max_scans and counts[i] >= args.max_scans:
                         live[i] = False
+                        bp.mark_done(i)
             while bp.spin_once():
                 pass
         while bp.spin_once():
             pass
-        # per-stream outputs; the single-stream output block below still
-        # writes stream 0's artifacts for compatibility
+        if args.profile:
+            jax.profiler.stop_trace()
+        for i in range(len(args.bag)):
+            if bp.imu_need_init[i]:
+                print(f"WARNING: stream {i} ({args.bag[i]}) never completed "
+                      "IMU static init — check --imu-topic and the bag's "
+                      "IMU message count", file=sys.stderr)
+            elif not bp.trajectory[i]:
+                print(f"WARNING: stream {i} ({args.bag[i]}) produced no "
+                      "estimates", file=sys.stderr)
+        # per-stream outputs (the single-stream artifact block below does
+        # not run in fleet mode)
         for i in range(len(args.bag)):
             d = out / f"stream{i}"
             d.mkdir(parents=True, exist_ok=True)

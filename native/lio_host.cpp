@@ -116,12 +116,13 @@ int decode_velodyne(const float* xyz,
   const double blind2 = blind * blind;
   const double omega_l = 0.361 * scan_rate;       // deg per ms
   const double period = 360.0 / omega_l;          // ms per revolution
-  // per-ring unwrap state (rings are small uint16 values; 256 is generous)
-  constexpr int MAX_RINGS = 256;
-  double yaw_fp[MAX_RINGS];
-  double t_last[MAX_RINGS];
-  bool seen[MAX_RINGS];
-  std::memset(seen, 0, sizeof(seen));
+  // per-ring unwrap state, sized to the full uint16 ring domain so no two
+  // distinct ring ids ever share state (the numpy path groups by exact ring
+  // value; masking would alias ring 256 onto ring 0 and break parity)
+  constexpr int MAX_RINGS = 65536;
+  std::vector<double> yaw_fp(MAX_RINGS);
+  std::vector<double> t_last(MAX_RINGS);
+  std::vector<uint8_t> seen(MAX_RINGS, 0);
   int kept = 0;
   for (int i = 0; i < n; ++i) {
     const float* p = xyz + 3 * i;

@@ -115,6 +115,7 @@ def test_batch_matches_single_pipelines():
     for k in range(n_rounds):
         for i, d in enumerate(datas):
             if k >= len(d.scans):
+                bp.mark_done(i)
                 continue
             stamp = d.scan_stamps[k]
             end = stamp + 0.1

@@ -139,6 +139,24 @@ def test_native_velodyne_matches_numpy(with_time):
         assert nat.time_offset_s.max() > 0.05
 
 
+def test_native_velodyne_wide_ring_ids_no_alias():
+    """Ring ids >= 256 must keep their own unwrap state (the numpy path
+    groups by exact ring value; a masked native table would alias 256→0)."""
+    cfg = Config(lidar_type=LidarType.VELO16, blind=0.5, point_filter_num=1,
+                 scan_rate=10)
+    msg = _velo_cloud(2400, n_rings=8)
+    # remap rings to sparse wide ids incl. >256 values
+    wide_ids = np.array([0, 3, 250, 256, 300, 511, 1000, 40000], np.uint16)
+    msg["ring"] = wide_ids[msg["ring"].astype(int)]
+    from fast_lio_tpu.preprocess.drivers import decode
+
+    nat = decode(msg, cfg, use_native=True)
+    ref = decode(msg, cfg, use_native=False)
+    assert len(nat.pts) == len(ref.pts)
+    np.testing.assert_allclose(nat.time_offset_s, ref.time_offset_s,
+                               atol=1e-9)
+
+
 def test_native_velodyne_unwrap_wraparound():
     """Rings whose sweep crosses the +/-pi yaw seam exercise the +360 and
     +period fix-ups; parity must hold there too."""

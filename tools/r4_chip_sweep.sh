@@ -16,7 +16,7 @@ run() {  # run <name> <timeout_s> <cmd...>
 }
 
 # 0. is the chip alive at all?
-timeout 60 python -c "
+timeout 180 python -c "
 import numpy as np, jax, jax.numpy as jnp
 print('alive', float(np.asarray(jax.device_get(jnp.ones((2,2))+1))[0,0]))" \
   || { echo 'TUNNEL STILL DOWN'; exit 1; }
