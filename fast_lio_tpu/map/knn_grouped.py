@@ -94,11 +94,15 @@ def _kernel(H, B, R, cell_size, n_groups_ref, starts_ref, buckets_ref,
 
         d2s, xs, ys, zs = [], [], [], []
         for o in range(R):
-            rows = cand[o:o + 1, :]  # (1, W) — broadcasts over the G queries
-            sx = rows[:, 0 * B:1 * B]
-            sy = rows[:, 1 * B:2 * B]
-            sz = rows[:, 2 * B:3 * B]
-            sw = rows[:, 3 * B:4 * B]
+            # Slice each channel straight from the VMEM ref: a ref load is
+            # address-based so lanes 128:192 come out as tile-1/offset-0.
+            # Slicing a loaded (1, 4B) vector instead gives Mosaic an
+            # in-register lane offset >= 128 -> "Invalid input layout" on the
+            # (1,B)->(G,B) broadcast (observed on-chip, r4).
+            sx = cand[o:o + 1, 0 * B:1 * B]
+            sy = cand[o:o + 1, 1 * B:2 * B]
+            sz = cand[o:o + 1, 2 * B:3 * B]
+            sw = cand[o:o + 1, 3 * B:4 * B]
             d2 = (sx - qx) ** 2 + (sy - qy) ** 2 + (sz - qz) ** 2 + sw
             oob = ((sx < lox) | (sx >= lox + span)
                    | (sy < loy) | (sy >= loy + span)
