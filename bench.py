@@ -50,7 +50,6 @@ def _scenario(name):
     from fast_lio_tpu import sim as simlib
     from fast_lio_tpu.config import Config, LidarType
 
-    knn = os.environ.get("FAST_LIO_KNN", "auto")
     if name == "avia":
         # Avia-like load: ~12.8k raw points/scan pre-decimation, 0.3 m voxels.
         # Pads sized to keep XLA compile time bounded on the tunnel backend.
@@ -64,7 +63,6 @@ def _scenario(name):
             map_h_log2=13,  # x 64 slots = same 524k capacity as the old 15x16
             det_range=40.0,
             cube_side_length=300.0,
-            knn_backend=knn,
         )
         data = simlib.generate(
             simlib.SimConfig(duration=10.0, n_rings=16, n_azimuth=400)
@@ -85,7 +83,6 @@ def _scenario(name):
             cube_side_length=300.0,
             map_cell_multiplier=5,
             knn_wide_fallback=True,
-            knn_backend=knn,
         )
         data = simlib.generate(
             simlib.SimConfig(duration=10.0, n_rings=64, n_azimuth=688,
@@ -107,7 +104,6 @@ def _scenario(name):
             cube_side_length=300.0,
             map_cell_multiplier=5,
             knn_wide_fallback=True,
-            knn_backend=knn,
         )
         data = simlib.generate(
             simlib.SimConfig(duration=10.0, scan_period=0.01, n_rings=8,
@@ -139,7 +135,6 @@ def _scenario(name):
             cube_side_length=600.0,
             map_cell_multiplier=5,
             knn_wide_fallback=True,
-            knn_backend=knn,
         )
         data = simlib.generate(
             simlib.SimConfig(duration=10.0, n_rings=16, n_azimuth=320,
@@ -252,10 +247,7 @@ def main():
     cfg, data = _scenario(scenario)
     pipe = Pipeline(cfg)
 
-    from fast_lio_tpu.pipeline import use_pallas_knn
-
-    knn_backend = (cfg.knn_backend if use_pallas_knn(cfg, pipe.map_cfg)
-                   else "xla")
+    knn_backend = "xla"  # the one production backend (PERF.md "kNN backends")
 
     # pre-build packets so packet sync never interleaves with timing
     period = (float(data.scan_stamps[1] - data.scan_stamps[0])

@@ -86,13 +86,12 @@ class Config:
     # dispatch-only.
 
     # --- TPU runtime ---
-    knn_backend: str = "auto"  # "auto" | "xla" | "pallas" | "grouped".
-    # auto = XLA region-gather (measured fastest on-chip end-to-end, 212.7
-    # vs 161.3 scans/s for the r3 Pallas kernel at bench shapes — PERF.md);
-    # "pallas" = the r3 fused kernel (per-query row loads); "grouped" = the
-    # r4 region-grouped kernel (map.knn_grouped: one row-set load per group
-    # of same-cell queries).  All identical semantics; kernels need the map
-    # to fit VMEM and exclude rescore_research.
+    knn_backend: str = "auto"  # "auto" | "xla" (synonyms).
+    # The XLA region-gather is the one production backend.  Two Pallas
+    # kernels (r3 per-query, r4 region-grouped) were measured on chip and
+    # both lose — 1.40 / 22.7 ms/search vs XLA's 0.46 at bench shapes
+    # (PERF.md "kNN backends") — and live demoted in tools/knn_pallas.py /
+    # tools/knn_grouped.py, still parity-tested.
     knn_wide_fallback: bool = False  # when the 2x2x2 search leaves queries
     # unsaturated (< 5 neighbors or 5th NN beyond the covered radius), re-run
     # those scans' search over the centered 3x3x3 region (coverage radius =

@@ -10,8 +10,8 @@ fixed-capacity bucketed spatial hash held in device arrays:
   layout ``[x(B) | y(B) | z(B) | w(B)]``.  The w channel encodes validity as
   a distance penalty (0.0 = live, 1e18 = free slot), so a candidate's
   masked squared distance is simply ``dx^2+dy^2+dz^2+w``.  One bucket is ONE
-  1 KB row: a single XLA gather row, a single DMA descriptor for the Pallas
-  kNN kernel (map.knn_pallas), and lane-aligned channel slices (B=64 ->
+  1 KB row: a single XLA gather row, a single DMA descriptor for the demoted
+  Pallas kNN kernels (tools/knn_pallas.py), and lane-aligned channel slices (B=64 ->
   4x64=256 lanes).  A point lives in the bucket of its *storage cell* (side
   ``cell_size``, default 4x the map-downsample voxel).
 * kNN     = gather the 2x2x2 cell region nearest the query (round-to-corner)
@@ -264,8 +264,8 @@ def knn_search(
     (laserMapping.cpp:670) with a region gather + top-k: exact within the
     covered neighborhood (>= cell_size/2 from the query in every axis
     standard, >= cell_size wide).  Hash collisions are filtered exactly by
-    the region bounds check.  See map.knn_pallas for the fused TPU kernel
-    with identical semantics."""
+    the region bounds check.  (Two Pallas kernels with identical semantics
+    live demoted in tools/ — both measured slower on chip, PERF.md.)"""
     B = cfg.bucket_slots
     N = queries.shape[0]
     base, cells, R = region_cells(queries, cfg, wide)

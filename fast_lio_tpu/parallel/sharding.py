@@ -80,14 +80,9 @@ def _owner_of(cell: jnp.ndarray, lcfg: hm.MapConfig, n: int) -> jnp.ndarray:
 
 
 def _local_search_fn(cfg: Config, lcfg: hm.MapConfig, m_local: hm.Map):
-    """Per-shard kNN kernel with the same backend selection as the
-    single-device path (pipeline.use_pallas_knn) applied to the LOCAL table."""
-    from ..pipeline import use_pallas_knn
-
-    if use_pallas_knn(cfg, lcfg):
-        from ..map import knn_pallas as kp
-
-        return partial(kp.knn_search_pallas, m_local, lcfg)
+    """Per-shard kNN over the LOCAL table (XLA region-gather — the one
+    backend; the Pallas kernels were demoted to tools/, see
+    pipeline.make_knn_fn)."""
     return partial(hm.knn_search, m_local, lcfg)
 
 

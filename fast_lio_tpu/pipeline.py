@@ -36,35 +36,16 @@ from .ops.voxel_grid import voxel_downsample
 MOV_THRESHOLD = 1.5  # laserMapping.cpp:78
 
 
-def use_pallas_knn(cfg: Config, map_cfg: hm.MapConfig) -> bool:
-    """Backend choice for the map kNN (Config.knn_backend).
-
-    "auto" resolves to the XLA region-gather: measured ON CHIP at bench
-    shapes (round 3, PERF.md), the fused Pallas kernel LOSES end-to-end —
-    161.3 vs 212.7 scans/s — because its per-query serial VMEM row loop
-    costs more than XLA's batched gather + one-hot MXU extraction.  The
-    kernel stays available as an explicit opt-in (knn_backend="pallas") and
-    in tests; revisit if the map layout changes."""
-    if cfg.knn_backend in ("pallas", "grouped"):
-        from .map import knn_pallas as kp
-
-        if not kp.supports(map_cfg):
-            raise ValueError(
-                f"knn_backend={cfg.knn_backend!r} needs the packed map to "
-                f"fit VMEM (<= {kp.VMEM_MAP_LIMIT >> 20} MB); map is "
-                f"{(map_cfg.num_buckets * map_cfg.row_width * 4) >> 20} MB")
-        if cfg.rescore_research:
-            raise ValueError("kernel kNN cannot materialize candidate "
-                             "blocks; disable rescore_research")
-        return True
-    return False
-
-
 def make_knn_fn(cfg: Config, map_cfg: hm.MapConfig, m: hm.Map):
     """(queries (N,3), mask (N,)) -> (nbrs, sq, found) against map ``m``.
 
-    Selects the XLA region-gather or the fused Pallas kernel
-    (map.knn_pallas), and optionally wraps the adaptive wide-region fallback
+    The backend is the XLA region-gather (hash_map.knn_search).  Two Pallas
+    kernels were built and measured on chip and both LOSE to it — r3
+    per-query kernel 1.40 ms/search and r4 region-grouped kernel 22.7
+    ms/search vs XLA's 0.46 at bench shapes (PERF.md "kNN backends") — so
+    they were demoted to tools/knn_pallas.py / tools/knn_grouped.py (kept
+    runnable + parity-tested for study).  Optionally wraps the adaptive
+    wide-region fallback
     (Config.knn_wide_fallback): when any live query is unsaturated — fewer
     than 5 neighbors found, or its 5th NN beyond the guaranteed coverage
     radius cell_size/2 — the search re-runs over the centered 3x3x3 region
@@ -73,20 +54,16 @@ def make_knn_fn(cfg: Config, map_cfg: hm.MapConfig, m: hm.Map):
     cell_size >= sqrt(5) (laserMapping.cpp:671)."""
     from functools import partial as _partial
 
+    if cfg.knn_backend not in ("auto", "xla"):
+        raise ValueError(
+            f"knn_backend={cfg.knn_backend!r}: the Pallas kernels were "
+            "demoted to tools/ after losing on chip (PERF.md); use 'auto'")
+
     if cfg.rescore_research:
         inner = _partial(hm.knn_search, m, map_cfg, return_candidates=True)
         return lambda q, mask: inner(q)
 
-    if cfg.knn_backend == "grouped" and use_pallas_knn(cfg, map_cfg):
-        from .map import knn_grouped as kg
-
-        base = _partial(kg.knn_search_grouped, m, map_cfg)
-    elif use_pallas_knn(cfg, map_cfg):
-        from .map import knn_pallas as kp
-
-        base = _partial(kp.knn_search_pallas, m, map_cfg)
-    else:
-        base = _partial(hm.knn_search, m, map_cfg)
+    base = _partial(hm.knn_search, m, map_cfg)
 
     if not cfg.knn_wide_fallback:
         return lambda q, mask: base(q)

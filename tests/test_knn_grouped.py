@@ -1,13 +1,19 @@
-"""Grouped Pallas kNN kernel (map.knn_grouped) vs the XLA reference path
-(interpret mode on CPU).  Exercises exactly the structure the kernel
-exploits: many queries sharing a storage cell (voxel-downsample centroids)
-plus the degenerate cases (all-distinct cells, empty regions, ties)."""
+"""Grouped Pallas kNN kernel (DEMOTED to tools/knn_grouped.py — lost on
+chip, PERF.md "kNN backends") vs the XLA reference path (interpret mode on
+CPU).  Exercises exactly the structure the kernel exploits: many queries
+sharing a storage cell (voxel-downsample centroids) plus the degenerate
+cases (all-distinct cells, empty regions, ties)."""
+import sys
+from pathlib import Path
+
 import numpy as np
 
 import jax.numpy as jnp
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
 from fast_lio_tpu.map import hash_map as hm
-from fast_lio_tpu.map.knn_grouped import knn_search_grouped
+from knn_grouped import knn_search_grouped
 
 RNG = np.random.default_rng(11)
 CFG = hm.MapConfig(h_log2=10, bucket_slots=16, cell_size=1.0, voxel_size=0.5)
@@ -99,23 +105,25 @@ def test_grouped_not_multiple_of_8():
 
 
 def test_grouped_backend_pipeline_e2e(monkeypatch):
-    """knn_backend='grouped' through the FULL pipeline (make_knn_fn wiring,
-    update loop, insert feedback) — interpret mode so it runs on CPU."""
+    """The demoted grouped kernel through the FULL pipeline (update loop,
+    insert feedback) — injected by patching hash_map.knn_search, since the
+    production wiring only exposes the XLA backend; interpret mode on CPU."""
     import functools
 
     from fast_lio_tpu import sim as simlib
     from fast_lio_tpu.config import Config, LidarType
-    from fast_lio_tpu.map import knn_grouped as kg
     from fast_lio_tpu.pipeline import Pipeline
 
-    real = kg.knn_search_grouped
-    monkeypatch.setattr(kg, "knn_search_grouped",
-                        functools.partial(real, interpret=True))
+    def grouped_as_knn_search(m, cfg_, queries, k=5, wide=False, **kw):
+        return knn_search_grouped(m, cfg_, queries, k=k, wide=wide,
+                                  interpret=True)
+
+    monkeypatch.setattr(hm, "knn_search", grouped_as_knn_search)
 
     cfg = Config(
         lidar_type=LidarType.AVIA, filter_size_surf=0.3, filter_size_map=0.3,
         n_points_max=1024, n_ds_max=512, n_imu_max=32, map_h_log2=11,
-        det_range=40.0, cube_side_length=300.0, knn_backend="grouped",
+        det_range=40.0, cube_side_length=300.0,
     )
     data = simlib.generate(simlib.SimConfig(duration=1.5, n_rings=8,
                                             n_azimuth=100))

@@ -3,8 +3,13 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
 from fast_lio_tpu.map import hash_map as hm
-from fast_lio_tpu.map import knn_pallas as kp
+import knn_pallas as kp
 
 RNG = np.random.default_rng(7)
 CFG = hm.MapConfig(h_log2=10, bucket_slots=16, cell_size=1.0, voxel_size=0.5)

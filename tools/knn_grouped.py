@@ -1,5 +1,15 @@
 """Grouped Pallas kNN kernel — region-shared row loads (round-4 rework).
 
+STATUS — DEMOTED to tools/ (measured on chip, r4): 22.7 ms/search vs XLA's
+0.46 at bench shapes (50x slower; wide 23.4 vs 2.87).  Two structural
+reasons: (a) real query sets group far worse than the design assumed —
+bench-like distributions give ~1.3 queries/region, not ~16, so the shared
+row loads buy little; (b) the single-program sequential group loop (~3.6k
+fori iterations of DMA-latency-bound row reads) cannot compete with XLA's
+one giant vectorized gather + fused min-sweeps, which keeps the whole VPU
+busy.  Kept runnable + parity-tested (tests/test_knn_grouped.py) as a
+negative result with the measurement methodology in tools/microbench_grouped.
+
 The round-3 kernel (map.knn_pallas) lost to XLA because it paid R dynamic
 VMEM row reads PER QUERY (64 serial slices per 8-query program).  This
 rework exploits the dominant structural fact of a LiDAR scan: queries are
@@ -45,7 +55,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import hash_map as hm
+from fast_lio_tpu.map import hash_map as hm
 
 K = hm.NUM_MATCH_POINTS
 G = 8  # queries per group (one sublane tile)

@@ -26,14 +26,14 @@ irrelevant downstream (the 5-NN SET feeds a plane fit).
 The kernel requires the map to fit in VMEM (packed bytes <= ~12 MB, i.e.
 h_log2 <= 13 at 64 slots).
 
-STATUS (round 3, PERF.md "Pallas kNN verdict"): measured ON CHIP at bench
-shapes this kernel LOSES end-to-end — 161.3 vs 212.7 scans/s — because its
-per-query serial VMEM row loop costs more than XLA's batched gather +
-one-hot MXU winner extraction.  ``Config.knn_backend="auto"`` therefore
-resolves to the XLA path (pipeline.use_pallas_knn); this kernel is an
-explicit opt-in (``knn_backend="pallas"``) kept for its interpret-mode
-parity tests and as the starting point if the map layout ever makes XLA's
-gather the bottleneck again.
+STATUS — DEMOTED to tools/ (round 4, VERDICT r3 item 8): measured ON CHIP
+this kernel loses to the XLA region-gather both end-to-end (161.3 vs 212.7
+scans/s, r3) and per search (1.40 vs 0.46 ms, r4 microbench_grouped) —
+the per-query serial VMEM row loop costs more than XLA's batched gather +
+one-hot MXU winner extraction.  It is NOT wired into the pipeline
+(Config.knn_backend accepts only "auto"/"xla"); it stays here runnable,
+with interpret-mode parity tests (tests/test_knn_pallas.py), as the
+starting point if the map layout ever makes XLA's gather the bottleneck.
 """
 from __future__ import annotations
 
@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import hash_map as hm
+from fast_lio_tpu.map import hash_map as hm
 
 QG = 8  # queries per grid program (one sublane tile)
 K = hm.NUM_MATCH_POINTS

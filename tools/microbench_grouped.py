@@ -21,8 +21,9 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/fast_lio_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from fast_lio_tpu.map import hash_map as hm
-from fast_lio_tpu.map import knn_pallas as kp
-from fast_lio_tpu.map.knn_grouped import _region_key, knn_search_grouped
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import knn_pallas as kp
+from knn_grouped import _region_key, knn_search_grouped
 
 N_LO, N_HI = 4, 24
 N_Q = 4096

@@ -23,8 +23,6 @@ print('alive', float(np.asarray(jax.device_get(jnp.ones((2,2))+1))[0,0]))" \
 
 # 1. headline at HEAD (the PERF.md reconciliation number)
 run bench_avia 900 python bench.py
-# 2. grouped kernel e2e (the item-8 keep-vs-demote decision)
-run bench_avia_grouped 900 env FAST_LIO_KNN=grouped python bench.py
 # 2b. batch-serving aggregate throughput
 run bench_batch4 1200 python bench.py avia_batch4
 # 3. the other envelope scenarios
