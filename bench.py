@@ -231,6 +231,7 @@ def main_batch(n_streams=4):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     # persistent compile cache: the big fused step compiles once per shape
     jax.config.update("jax_compilation_cache_dir", "/tmp/fast_lio_tpu_jax_cache")
@@ -271,12 +272,28 @@ def main():
         # forced host readback: the ONLY real synchronization on axon
         return float(np.asarray(jax.device_get(pipe.P))[0, 0])
 
+    def probe_dispatch_ms(n=40):
+        """Chained tiny-op dispatch latency through the tunnel (ms/call).
+        The axon tunnel's per-dispatch cost varies 0.25-1.0 ms across hours;
+        publishing it with every run makes environment-limited numbers
+        distinguishable from code regressions (PERF.md 'tunnel variance')."""
+        g = jax.jit(lambda v: v * 1.000001 + 1e-9)
+        y = jnp.zeros((8, 8), jnp.float32)
+        y = g(y)
+        float(np.asarray(jax.device_get(y))[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            y = g(y)
+        float(np.asarray(jax.device_get(y))[0, 0])
+        return (time.perf_counter() - t0) / n * 1e3
+
     t_start = time.perf_counter()
     # ---- warm-up: compiles + cache loads happen here ----
     for pkt in packets[:N_WARM]:
         pipe.process_packet(pkt)
     drain()
     warm_s = time.perf_counter() - t_start
+    tunnel_pre_ms = probe_dispatch_ms()
 
     # ---- measured run, two independent halves ----
     meas = packets[N_WARM:]
@@ -296,6 +313,7 @@ def main():
         halves.append(len(part) / (time.perf_counter() - t0))
     wall = time.perf_counter() - t_meas0
     scans_per_sec = len(meas) / wall
+    tunnel_post_ms = probe_dispatch_ms()
 
     deltas_ms = np.sort(np.asarray(deltas)) * 1e3
     # ate_rmse_m is the standard TUM/evo Umeyama-aligned ATE for EVERY
@@ -325,6 +343,8 @@ def main():
             "map_size": int(pipe.diags[-1].map_size) if pipe.diags else 0,
             "platform": str(jax.devices()[0].platform),
             "knn_backend": knn_backend,
+            "tunnel_dispatch_ms": [round(tunnel_pre_ms, 3),
+                                   round(tunnel_post_ms, 3)],
         },
     }
     print(json.dumps(result))
