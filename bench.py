@@ -32,6 +32,7 @@ Measurement discipline (round 2):
     if p99 >> p50 the host stalled (GC, tunnel), not the device.
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -246,6 +247,13 @@ def main():
     if scenario.startswith("avia_batch"):
         return main_batch(int(scenario[len("avia_batch"):] or 4))
     cfg, data = _scenario(scenario)
+    if os.environ.get("FAST_LIO_RESCORE") == "1":
+        # A/B knob: converged-iteration re-searches re-rank the cached
+        # candidate block instead of re-gathering the map (Config.
+        # rescore_research docs; labeled in extra.rescore below)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, rescore_research=True)
     pipe = Pipeline(cfg)
 
     knn_backend = "xla"  # the one production backend (PERF.md "kNN backends")
@@ -343,6 +351,7 @@ def main():
             "map_size": int(pipe.diags[-1].map_size) if pipe.diags else 0,
             "platform": str(jax.devices()[0].platform),
             "knn_backend": knn_backend,
+            "rescore": os.environ.get("FAST_LIO_RESCORE") == "1",
             "tunnel_dispatch_ms": [round(tunnel_pre_ms, 3),
                                    round(tunnel_post_ms, 3)],
         },

@@ -462,13 +462,17 @@ def insert(
     rank_sorted = ex_cumsum - seg_base
     rank = jnp.zeros(N, jnp.int32).at[order].set(rank_sorted.astype(jnp.int32))
 
-    # free slots of each candidate's bucket, in ascending slot order
-    free_order = jnp.argsort(slot_ok, axis=-1, stable=True)  # False first
-    free_count = B - jnp.sum(slot_ok, axis=-1)
+    # rank-th free slot of each candidate's bucket WITHOUT a sort (r4: was a
+    # stable per-row argsort): the rank-th free slot is the first position
+    # where the inclusive free-count cumsum reaches rank+1 — one cumsum +
+    # compare + argmax, all VPU-cheap at (N, B)
+    free = jnp.logical_not(slot_ok)  # slot_ok == occupied (w == 0 is live)
+    free_cum = jnp.cumsum(free.astype(jnp.int32), axis=-1)  # (N, B)
+    free_count = free_cum[:, -1]
     app_ok = jnp.logical_and(do_append, rank < free_count)
-    app_slot = jnp.take_along_axis(
-        free_order, jnp.clip(rank, 0, B - 1)[:, None], axis=1
-    )[:, 0]
+    app_slot = jnp.argmax(
+        jnp.logical_and(free, free_cum == (rank + 1)[:, None]), axis=-1
+    ).astype(jnp.int32)
 
     overflow = jnp.sum(jnp.logical_and(do_append, rank >= free_count))
 
