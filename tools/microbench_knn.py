@@ -143,6 +143,34 @@ def x_iter5(bk, qq):
     return tot
 
 
+def x_production(bk, qq):
+    """The actual hash_map.smallest_k + one-hot extraction path."""
+    from fast_lio_tpu.map.hash_map import smallest_k
+
+    d2, cx, cy, cz = d2_of(bk, qq)
+    sq, idx = smallest_k(d2, 5)
+    oh = (idx[:, :, None] == jnp.arange(C)[None, None, :]).astype(jnp.float32)
+    cand = jnp.stack([cx, cy, cz], axis=-1)
+    nb = jnp.einsum("nkc,ncd->nkd", oh, cand, precision="highest")
+    return sq.sum() + nb.sum()
+
+
+def x_production_d2barrier(bk, qq):
+    """Same, but d2 is pinned behind an optimization barrier: the 5 min
+    sweeps then re-read one materialized 8 MB f32 block instead of refusing
+    into the 33 MB channel gather (whether XLA's fusion choice or the
+    barrier wins is an empirical question — r4)."""
+    from fast_lio_tpu.map.hash_map import smallest_k
+
+    d2, cx, cy, cz = d2_of(bk, qq)
+    d2 = jax.lax.optimization_barrier(d2)
+    sq, idx = smallest_k(d2, 5)
+    oh = (idx[:, :, None] == jnp.arange(C)[None, None, :]).astype(jnp.float32)
+    cand = jnp.stack([cx, cy, cz], axis=-1)
+    nb = jnp.einsum("nkc,ncd->nkd", oh, cand, precision="highest")
+    return sq.sum() + nb.sum()
+
+
 # ---- group 2: voxel downsample ---------------------------------------------
 
 
@@ -182,5 +210,8 @@ if __name__ == "__main__":
     slope("extract: flat scalar re-gather", mk(x_regather), buckets, q)
     slope("extract: one-hot MXU matmul (production)", mk(x_onehot), buckets, q)
     slope("extract: 5x iterative min+one-hot", mk(x_iter5), buckets, q)
+    slope("production smallest_k + one-hot", mk(x_production), buckets, q)
+    slope("production + d2 optimization_barrier", mk(x_production_d2barrier),
+          buckets, q)
     slope("voxel downsample: 3-key lexsort (prod)", mk(ds_lexsort), buckets, q)
     slope("voxel downsample: packed 1-key argsort", mk(ds_packed), buckets, q)
