@@ -81,7 +81,9 @@ class BatchPipeline:
         self.last_lidar_end_time = [0.0] * self.B
         self.map_built = [False] * self.B
         self.trajectory: List[List] = [[] for _ in range(self.B)]
-        self.diags: List[List[StepDiag]] = [[] for _ in range(self.B)]
+        # raw (n_raw, wall_s, device-handle dict, stream) tuples; per-round
+        # device slicing is deferred to get_diags() (see spin_once)
+        self.diags: List[List] = [[] for _ in range(self.B)]
         self._helper = Pipeline.__new__(Pipeline)  # for _pack_buf reuse
         self._helper.cfg = cfg
         self._helper.pad_buckets = tuple(sorted(set(
@@ -241,27 +243,41 @@ class BatchPipeline:
         (self.x, self.P, self.map, self.imu_carry, self.lm_state, clouds, d
          ) = self._step_fn(self.x, self.P, self.map, self.imu_carry, self.Q,
                            batch, *self.lm_state)
+        # Record per-round results WITHOUT per-stream device slicing: each
+        # [i] index on a device array is its own dispatch through the
+        # tunnel (~0.3-1 ms host cost), and the old per-stream loop issued
+        # ~6 of them per live stream per round — more host time than the
+        # vmapped step itself at B=4.  Store the full (B, ...) handles once
+        # and slice numpy-side at materialization (get_trajectory/diags).
+        pos_h, rot_h = self.x.pos, self.x.rot  # existing handles, 0 ops
+        wall = time.perf_counter() - t0
         for i, p in enumerate(pkts):
             if p is None:
                 continue
             if not self.map_built[i]:
+                # forces a readback, but only until stream i's map exists
                 self.map_built[i] = int(d["n_down"][i]) > 5
-            diag = StepDiag(n_raw=len(p.pts))
-            diag.n_down = d["n_down"][i]
-            diag.n_effective = d["n_eff"][i]
-            diag.iterations = d["iters"][i]
-            diag.map_size = d["map_size"][i]
-            diag.total_time = time.perf_counter() - t0
-            self.diags[i].append(diag)
-            self.trajectory[i].append(
-                (p.lidar_end_time,
-                 jax.tree_util.tree_map(lambda t: t[i], self.x).pos,
-                 jax.tree_util.tree_map(lambda t: t[i], self.x).rot))
+            self.trajectory[i].append((p.lidar_end_time, pos_h, rot_h, i))
+            self.diags[i].append((len(p.pts), wall, d, i))
         return True
 
     def get_trajectory(self, i: int):
         return [
-            (t, np.asarray(jax.device_get(p), np.float64),
-             np.asarray(jax.device_get(q), np.float64))
-            for t, p, q in self.trajectory[i]
+            (t, np.asarray(jax.device_get(p), np.float64)[j],
+             np.asarray(jax.device_get(q), np.float64)[j])
+            for t, p, q, j in self.trajectory[i]
         ]
+
+    def get_diags(self, i: int) -> List[StepDiag]:
+        """Materialized per-round diagnostics for stream i (one readback
+        per round, done here rather than on the hot path)."""
+        out = []
+        for n_raw, wall, d, j in self.diags[i]:
+            diag = StepDiag(n_raw=n_raw)
+            diag.n_down = int(np.asarray(jax.device_get(d["n_down"]))[j])
+            diag.n_effective = int(np.asarray(jax.device_get(d["n_eff"]))[j])
+            diag.iterations = int(np.asarray(jax.device_get(d["iters"]))[j])
+            diag.map_size = int(np.asarray(jax.device_get(d["map_size"]))[j])
+            diag.total_time = wall
+            out.append(diag)
+        return out
