@@ -44,6 +44,7 @@ NUM_MATCH_POINTS = 5  # common_lib.h:26
 W_FREE = 1.0e18  # w-channel value of a free slot; d2 >= 1e18 => not a point
 W_VALID_MAX = 1.0e17  # found threshold on returned squared distances
 _OOB = 1.0e18  # distance penalty for candidates outside the search region
+_D2_BARRIER = False  # experiment hook: materialize d2 before the k-sweeps
 
 
 class MapConfig(NamedTuple):
@@ -290,15 +291,33 @@ def knn_search(
     kill = oob | jnp.repeat(dup_mask, B, axis=-1)
     d2 = jnp.where(kill, _OOB, d2)
 
+    if _D2_BARRIER:
+        # pin d2 so the k min-sweeps re-read one materialized (N, C) f32
+        # block instead of re-fusing into the full channel gather per sweep
+        # (A/B experiment hook; see PERF.md)
+        d2 = jax.lax.optimization_barrier(d2)
     sq, idx = smallest_k(d2, k)  # (N, k)
     found = sq < W_VALID_MAX
-    # winner-coordinate extraction as a one-hot matmul: on TPU this rides the
-    # MXU and is ~2.3x cheaper than per-row take_along_axis gathers
-    # (tools/microbench_knn.py).  'highest' so f32 coordinates are never
-    # rounded through bf16 operands; the one-hot factor is exact either way.
-    oh = (idx[:, :, None] == jnp.arange(R * B)[None, None, :]).astype(cx.dtype)
-    cand = jnp.stack([cx, cy, cz], axis=-1)  # (N, R*B, 3)
-    nbrs = jnp.einsum("nkc,ncd->nkd", oh, cand, precision="highest")
+    if R * B <= 1024:
+        # winner-coordinate extraction as a one-hot matmul: on TPU this
+        # rides the MXU and is ~2.3x cheaper than per-row take_along_axis
+        # gathers at the standard 2x2x2 shapes (C = 512,
+        # tools/microbench_knn.py).  'highest' so f32 coordinates are never
+        # rounded through bf16 operands; the one-hot factor is exact.
+        oh = (idx[:, :, None] == jnp.arange(R * B)[None, None, :]
+              ).astype(cx.dtype)
+        cand = jnp.stack([cx, cy, cz], axis=-1)  # (N, R*B, 3)
+        nbrs = jnp.einsum("nkc,ncd->nkd", oh, cand, precision="highest")
+    else:
+        # wide 3x3x3 at large buckets (e.g. 27 x 128 = 3456 candidates):
+        # the (N, k, C) one-hot materializes hundreds of MB and made the
+        # wide search 11.5 ms at ouster shapes (r4 profile); the k-index
+        # channel gather scales with k, not C.
+        nbrs = jnp.stack([
+            jnp.take_along_axis(cx, idx, axis=1),
+            jnp.take_along_axis(cy, idx, axis=1),
+            jnp.take_along_axis(cz, idx, axis=1),
+        ], axis=-1)
     sq = jnp.where(found, sq, jnp.inf)
     if return_candidates:
         cand_pts = jnp.stack([cx, cy, cz], axis=-1)

@@ -34,7 +34,7 @@ from fast_lio_tpu.ops import measurement as meas
 from fast_lio_tpu.ops.voxel_grid import voxel_downsample
 from fast_lio_tpu.pipeline import make_knn_fn
 
-N_LO, N_HI = 4, 24
+N_LO, N_HI = 8, 72
 
 scenario = sys.argv[1] if len(sys.argv) > 1 else "avia"
 cfg, _data = benchmod._scenario(scenario)
@@ -69,18 +69,22 @@ knn_fn = make_knn_fn(cfg, map_cfg, m)  # configured backend + wide fallback
 
 
 def slope(name, fn, *args):
+    """Slope with INTERLEAVED lo/hi repeats: the tunnel's throughput drifts
+    on ~minute scales, and measuring all lo runs then all hi runs folds that
+    drift straight into the slope (observed as negative stage costs under a
+    degraded tunnel, r4).  Alternating lo/hi and taking the min of each
+    cancels drift; min-filtering drops sporadic RTT stall spikes."""
     fns = {n: jax.jit(partial(fn, n)) for n in (N_LO, N_HI)}
-    t = {}
-    for n, f in fns.items():
+    t = {N_LO: np.inf, N_HI: np.inf}
+    for n, f in fns.items():  # compile + first-run warm
         out = f(*args)
         _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
-        best = np.inf
-        for _ in range(4):
+    for _ in range(6):
+        for n, f in fns.items():
             t0 = time.perf_counter()
             out = f(*args)
             _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
-            best = min(best, time.perf_counter() - t0)
-        t[n] = best
+            t[n] = min(t[n], time.perf_counter() - t0)
     per = (t[N_HI] - t[N_LO]) / (N_HI - N_LO)
     print(f"{name:46s} {per*1e3:8.3f} ms/iter")
     return per
@@ -92,14 +96,19 @@ def loop(body, n, init):
 
 def f_imu(n, x, P, carry):
     def body(i, s):
-        x, P, c = s
+        x, P, c, acc = s
         x2, P2, pts_d, c2 = imu_mod.propagate_and_deskew(
-            x, P, Q, imu_t, imu_acc, imu_gyr, imu_mask, 1.0,
+            x, P, Q, imu_t, imu_acc, imu_gyr + acc * 1e-12, imu_mask, 1.0,
             jnp.asarray(-0.005, DT), jnp.asarray(0.1, DT), c,
             pts_raw, pt_time, deskew=True,
         )
-        return (x, P, c2)  # keep x,P fixed so loop doesn't diverge
-    return loop(body, n, (x, P, carry))
+        # consume EVERY output (x2/P2/deskewed cloud) — an earlier version
+        # kept only c2 and XLA dead-code-eliminated the propagation and the
+        # whole 8192-pt deskew, reporting ~0 for this stage (r4 fix); x,P
+        # stay fixed so the loop doesn't diverge
+        acc = acc + x2.pos.sum() + P2.sum() * 1e-9 + pts_d.sum() * 1e-9
+        return (x, P, c2, acc)
+    return loop(body, n, (x, P, carry, jnp.asarray(0.0, DT)))
 
 
 def f_downsample(n, pts, mask):
