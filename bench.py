@@ -250,10 +250,17 @@ def main():
     if os.environ.get("FAST_LIO_RESCORE") == "1":
         # A/B knob: converged-iteration re-searches re-rank the cached
         # candidate block instead of re-gathering the map (Config.
-        # rescore_research docs; labeled in extra.rescore below)
+        # rescore_research docs; labeled in extra.rescore below).  Rescore
+        # does not compose with the wide fallback (make_knn_fn raises), so
+        # the A/B is only offered where semantics stay identical (ADVICE r4).
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, rescore_research=True)
+        if cfg.knn_wide_fallback:
+            print(f"FAST_LIO_RESCORE=1 ignored: scenario {scenario!r} uses "
+                  "knn_wide_fallback and rescore would change search "
+                  "semantics (see make_knn_fn)", file=sys.stderr)
+        else:
+            cfg = dataclasses.replace(cfg, rescore_research=True)
     pipe = Pipeline(cfg)
 
     knn_backend = "xla"  # the one production backend (PERF.md "kNN backends")
@@ -351,7 +358,9 @@ def main():
             "map_size": int(pipe.diags[-1].map_size) if pipe.diags else 0,
             "platform": str(jax.devices()[0].platform),
             "knn_backend": knn_backend,
-            "rescore": os.environ.get("FAST_LIO_RESCORE") == "1",
+            # EFFECTIVE state (not the env var): rescore is refused on
+            # wide-fallback scenarios, see the guard at cfg construction
+            "rescore": bool(cfg.rescore_research),
             "tunnel_dispatch_ms": [round(tunnel_pre_ms, 3),
                                    round(tunnel_post_ms, 3)],
         },

@@ -20,6 +20,13 @@ Restrictions (documented, asserted):
   * one Config for all streams (shapes/compile must match);
   * the IMU static-init phase completes per stream on the host (same as
     Pipeline); the batch starts stepping when every stream is initialized.
+
+Memory note: trajectory and diagnostics are kept as per-round DEVICE
+handles (materialized lazily in get_trajectory/get_diags) to keep the hot
+path free of tunnel round trips — the same pattern as Pipeline.trajectory.
+Each round pins a handful of small device buffers for the run's lifetime;
+for very long replays, materialize periodically (get_diags caches, so
+calling it mid-run is cheap) if device-buffer growth matters.
 """
 from __future__ import annotations
 
@@ -82,8 +89,13 @@ class BatchPipeline:
         self.map_built = [False] * self.B
         self.trajectory: List[List] = [[] for _ in range(self.B)]
         # raw (n_raw, wall_s, device-handle dict, stream) tuples; per-round
-        # device slicing is deferred to get_diags() (see spin_once)
-        self.diags: List[List] = [[] for _ in range(self.B)]
+        # device slicing is deferred to get_diags() (see spin_once).  r4's
+        # public ``diags`` attribute (List[List[StepDiag]]) is gone — use
+        # get_diags(i) (ADVICE r4: no silent type change on a public name).
+        self._diag_handles: List[List] = [[] for _ in range(self.B)]
+        # get_diags memo: id(device dict) -> materialized numpy dict; the
+        # handles in _diag_handles keep each dict alive, so ids are stable
+        self._diag_np: dict = {}
         self._helper = Pipeline.__new__(Pipeline)  # for _pack_buf reuse
         self._helper.cfg = cfg
         self._helper.pad_buckets = tuple(sorted(set(
@@ -258,7 +270,7 @@ class BatchPipeline:
                 # forces a readback, but only until stream i's map exists
                 self.map_built[i] = int(d["n_down"][i]) > 5
             self.trajectory[i].append((p.lidar_end_time, pos_h, rot_h, i))
-            self.diags[i].append((len(p.pts), wall, d, i))
+            self._diag_handles[i].append((len(p.pts), wall, d, i))
         return True
 
     def get_trajectory(self, i: int):
@@ -269,15 +281,20 @@ class BatchPipeline:
         ]
 
     def get_diags(self, i: int) -> List[StepDiag]:
-        """Materialized per-round diagnostics for stream i (one readback
-        per round, done here rather than on the hot path)."""
+        """Materialized per-round diagnostics for stream i: ONE whole-dict
+        device_get per round (not 4 per stream per round — ADVICE r4),
+        memoized across streams since the dict is shared per round."""
         out = []
-        for n_raw, wall, d, j in self.diags[i]:
+        for n_raw, wall, d, j in self._diag_handles[i]:
+            np_d = self._diag_np.get(id(d))
+            if np_d is None:
+                np_d = jax.device_get(d)
+                self._diag_np[id(d)] = np_d
             diag = StepDiag(n_raw=n_raw)
-            diag.n_down = int(np.asarray(jax.device_get(d["n_down"]))[j])
-            diag.n_effective = int(np.asarray(jax.device_get(d["n_eff"]))[j])
-            diag.iterations = int(np.asarray(jax.device_get(d["iters"]))[j])
-            diag.map_size = int(np.asarray(jax.device_get(d["map_size"]))[j])
+            diag.n_down = int(np_d["n_down"][j])
+            diag.n_effective = int(np_d["n_eff"][j])
+            diag.iterations = int(np_d["iters"][j])
+            diag.map_size = int(np_d["map_size"][j])
             diag.total_time = wall
             out.append(diag)
         return out

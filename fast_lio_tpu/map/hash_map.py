@@ -416,14 +416,23 @@ def insert(
 
     # ---- voxel key + bucket -------------------------------------------
     # voxel coords relative to the MASKED batch min (points are world-frame,
-    # so a static origin cannot bound them over a long run; the masked span
-    # is bounded by the local-map cube, far below 2^10 voxels per axis, so
-    # in-mask keys are exact — the ADVICE-r3 ref-shift hazard needs an
-    # in-MASK outlier, which the cube prune excludes by construction).
-    ref = jnp.min(jnp.where(add_mask[:, None], vox, 2**30), axis=0)
-    rel = jnp.clip(vox - ref, 0, 1023)
-    key = (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]
+    # so a static origin cannot bound them over a long run).  Key layout
+    # (r5 — fixes the r4 10-bit clip, which aliased dedup keys once a scan
+    # spanned >1023 voxels per axis; at det_range=450 m and 0.5 m map voxels
+    # a single scan legally spans ~1800): TWO int32 sort keys carrying
+    # 15 bits per axis, with the bucket folded into the high key so the
+    # lexsort stays at 3 passes:
+    #     key_hi = (bucket | dead->H) << 15 | rel_x      (needs h_log2 <= 15)
+    #     key_lo = rel_y << 15 | rel_z
+    # In-mask span bound is now 32766 voxels per axis (16.3 km at 0.5 m) —
+    # far beyond any det_range.  Non-dedup points take the reserved guard
+    # value 32767 per axis (rel clips to 32766), so they sort after their
+    # bucket's dedup run and can never collide with a real voxel key.
+    assert cfg.h_log2 <= 15, "insert key layout requires h_log2 <= 15"
     live_ds = jnp.logical_and(add_mask, downsample)
+    ref = jnp.min(jnp.where(add_mask[:, None], vox, 2**30), axis=0)
+    rel = jnp.clip(vox - ref, 0, 32766)
+    GUARD = jnp.int32(32767)
     cell = _cell_of(pts, cfg.cell_size)
     bucket = _bucket_of(cell, cfg.h_log2)  # (N,)
 
@@ -432,13 +441,16 @@ def insert(
     # (a voxel nests in one cell => one bucket), so the dedup winner is the
     # first entry of each key run, AND bucket runs are contiguous, so append
     # ranks fall out of a segmented cumsum over the same order.
-    big = jnp.int32(2**30)
     bucket_key = jnp.where(add_mask, bucket, jnp.int32(H))
-    dedup_key = jnp.where(live_ds, key, big)
-    order = jnp.lexsort((d_mid, dedup_key, bucket_key))
-    sk = dedup_key[order]
-    is_first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
-    winner_sorted = jnp.logical_and(is_first, sk < big)
+    key_hi = (bucket_key << 15) | jnp.where(live_ds, rel[:, 0], GUARD)
+    key_lo = jnp.where(live_ds, (rel[:, 1] << 15) | rel[:, 2],
+                       (GUARD << 15) | GUARD)
+    order = jnp.lexsort((d_mid, key_lo, key_hi))
+    shi, slo = key_hi[order], key_lo[order]
+    is_first = jnp.concatenate(
+        [jnp.array([True]),
+         jnp.logical_or(shi[1:] != shi[:-1], slo[1:] != slo[:-1])])
+    winner_sorted = jnp.logical_and(is_first, live_ds[order])
     winner = jnp.zeros(N, dtype=bool).at[order].set(winner_sorted)
     live = jnp.logical_or(winner, jnp.logical_and(add_mask, ~downsample))
 
@@ -471,7 +483,7 @@ def insert(
     # computed in the SAME sorted order (segmented exclusive cumsum).  Which
     # appender gets which free slot is arbitrary — it only picks overflow
     # victims when a bucket fills, and those are counted, not silent.
-    sb = bucket_key[order]
+    sb = shi >> 15  # bucket_key recovered from the sorted high key
     first_b = jnp.concatenate([jnp.array([True]), sb[1:] != sb[:-1]])
     flag = do_append[order].astype(jnp.int32)
     ex_cumsum = jnp.cumsum(flag) - flag  # exclusive

@@ -60,6 +60,14 @@ def make_knn_fn(cfg: Config, map_cfg: hm.MapConfig, m: hm.Map):
             "demoted to tools/ after losing on chip (PERF.md); use 'auto'")
 
     if cfg.rescore_research:
+        if cfg.knn_wide_fallback:
+            # the cached-candidate rescore re-ranks the 2x2x2 block only; a
+            # silent rescore+wide combination would A/B different search
+            # semantics (ADVICE r4)
+            raise ValueError(
+                "rescore_research does not compose with knn_wide_fallback: "
+                "the cached candidate block never covers the wide 3x3x3 "
+                "region — disable one of the two")
         inner = _partial(hm.knn_search, m, map_cfg, return_candidates=True)
         return lambda q, mask: inner(q)
 
@@ -439,6 +447,10 @@ class Pipeline:
         self.diags: List[StepDiag] = []
         self.last_pts_world = None  # device handles
         self.last_pts_world_mask = None
+        self.last_pts_world_intensity = None
+        self.last_pts_body = None
+        self.last_pts_body_mask = None
+        self.last_pts_body_intensity = None
 
         self._step_fn = self._build_step()
 

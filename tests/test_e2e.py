@@ -62,3 +62,18 @@ def test_e2e_velocity_tracked():
 
     v_est = np.asarray(jax.device_get(pipe.x.vel))
     np.testing.assert_allclose(v_est, v_gt, atol=0.08)
+
+
+def test_last_cloud_world_dense_before_first_scan():
+    """Regression (VERDICT r4 weak #5): calling last_cloud_world_dense()
+    before any packet has been processed must return the documented empty
+    cloud, not AttributeError."""
+    cfg = Config(
+        lidar_type=LidarType.AVIA, n_points_max=1024, n_ds_max=512,
+        n_imu_max=32, map_h_log2=12, det_range=40.0,
+        cube_side_length=300.0,
+    )
+    pipe = Pipeline(cfg)
+    pts, intensity = pipe.last_cloud_world_dense()
+    assert pts.shape == (0, 3)
+    assert intensity.shape == (0,)

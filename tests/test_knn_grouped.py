@@ -3,17 +3,25 @@ chip, PERF.md "kNN backends") vs the XLA reference path (interpret mode on
 CPU).  Exercises exactly the structure the kernel exploits: many queries
 sharing a storage cell (voxel-downsample centroids) plus the degenerate
 cases (all-distinct cells, empty regions, ties)."""
-import sys
 from pathlib import Path
 
 import numpy as np
 
 import jax.numpy as jnp
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-
 from fast_lio_tpu.map import hash_map as hm
-from knn_grouped import knn_search_grouped
+
+def _load_tool(name):
+    # load tools/<name>.py without touching sys.path (ADVICE r4: a path
+    # prepend would shadow same-named installed modules session-wide)
+    import importlib.util
+    p = Path(__file__).resolve().parent.parent / "tools" / f"{name}.py"
+    spec = importlib.util.spec_from_file_location(name, p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+knn_search_grouped = _load_tool("knn_grouped").knn_search_grouped
 
 RNG = np.random.default_rng(11)
 CFG = hm.MapConfig(h_log2=10, bucket_slots=16, cell_size=1.0, voxel_size=0.5)

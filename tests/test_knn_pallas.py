@@ -3,13 +3,21 @@ import numpy as np
 
 import jax.numpy as jnp
 
-import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-
 from fast_lio_tpu.map import hash_map as hm
-import knn_pallas as kp
+
+def _load_tool(name):
+    # load tools/<name>.py without touching sys.path (ADVICE r4: a path
+    # prepend would shadow same-named installed modules session-wide)
+    import importlib.util
+    p = Path(__file__).resolve().parent.parent / "tools" / f"{name}.py"
+    spec = importlib.util.spec_from_file_location(name, p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+kp = _load_tool("knn_pallas")
 
 RNG = np.random.default_rng(7)
 CFG = hm.MapConfig(h_log2=10, bucket_slots=16, cell_size=1.0, voxel_size=0.5)

@@ -150,3 +150,60 @@ def test_insert_decisions_hysteresis():
         p, mask, jnp.zeros((1, 5, 3)), jnp.zeros((1, 5), bool), inited, vox
     )
     assert bool(add[0]) and bool(ds[0])
+
+
+def test_insert_no_key_aliasing_at_det_range_450_scale():
+    """Regression (VERDICT r4 weak #6): the r4 dedup key clipped voxel
+    coords relative to the batch min to 10 bits/axis, so a scan spanning
+    >1023 voxels per axis (det_range=450 m at 0.5 m map voxels = up to
+    ~1800) could alias two distinct voxels to one key and silently drop a
+    real point.  The r5 two-key layout carries 15 bits/axis.
+
+    Deterministic trigger for the old code: several far points whose rel-x
+    all clip to 1023 share one dedup key; whichever are adjacent in the
+    sorted order lose to the run head."""
+    cfg = hm.MapConfig(h_log2=12, bucket_slots=16, cell_size=2.0,
+                       voxel_size=0.5)
+    m = hm.make_map(cfg, jnp.float64)
+    # anchor at voxel 0 pins the batch-min ref; far points at voxels
+    # 1100/1200/1300/1400 on x (550-700 m, all > 1023 voxels from ref)
+    pts = jnp.asarray([
+        [0.1, 0.1, 0.1],
+        [550.1, 0.1, 0.1],
+        [600.1, 0.1, 0.1],
+        [650.1, 0.1, 0.1],
+        [700.1, 0.1, 0.1],
+    ])
+    n = pts.shape[0]
+    m = hm.insert(m, cfg, pts, jnp.ones(n, bool), jnp.ones(n, bool))
+    assert int(hm.map_size(m)) == n  # old 10-bit keys dropped >= 2 of these
+    kept = np.sort(np.asarray(hm.flatten(m))[:, 0])
+    np.testing.assert_allclose(kept, np.sort(np.asarray(pts)[:, 0]), atol=0)
+
+
+def test_insert_wide_span_randomized_matches_numpy_dedup():
+    """900 m-span batch (det_range-450 scale): the device insert's dedup
+    winner set must equal a numpy reference dedup (nearest-to-voxel-center
+    per voxel) exactly."""
+    cfg = hm.MapConfig(h_log2=12, bucket_slots=16, cell_size=2.0,
+                       voxel_size=0.5)
+    rng = np.random.default_rng(450)
+    pts = rng.uniform(-450, 450, size=(2048, 3))
+    vox = np.floor(pts / cfg.voxel_size).astype(np.int64)
+    mid = (vox + 0.5) * cfg.voxel_size
+    d_mid = ((pts - mid) ** 2).sum(-1)
+    winners = {}
+    for i in range(len(pts)):
+        k = tuple(vox[i])
+        if k not in winners or d_mid[i] < d_mid[winners[k]]:
+            winners[k] = i
+    expect = np.sort(
+        np.asarray([pts[i] for i in winners.values()]), axis=0)
+
+    m = hm.make_map(cfg, jnp.float64)
+    m = hm.insert(m, cfg, jnp.asarray(pts), jnp.ones(len(pts), bool),
+                  jnp.ones(len(pts), bool))
+    assert int(np.asarray(m.dropped)) == 0
+    got = np.sort(np.asarray(hm.flatten(m)), axis=0)
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(got, expect, atol=0)
