@@ -8,10 +8,17 @@ deserializes the three message types FAST-LIO consumes:
 
   * sensor_msgs/Imu
   * sensor_msgs/PointCloud2  (Velodyne / Ouster / generic XYZI layouts)
-  * livox_ros_driver/CustomMsg
+  * livox_ros_driver/CustomMsg AND livox_ros_driver2/CustomMsg — post-2022
+    Avia/MID-360 recordings use driver2, whose CustomMsg/CustomPoint field
+    layout is wire-identical (header, u64 timebase, u32 point_num,
+    u8 lidar_id, u8[3] rsvd, then {u32 offset_time, 3xf32 xyz,
+    u8 reflectivity/tag/line} records); only the type string differs, so
+    both map to the same parser.
 
 Deserialized messages come out as dicts of numpy arrays matching what
-fast_lio_tpu.preprocess.drivers.decode expects.
+fast_lio_tpu.preprocess.drivers.decode expects.  Unreadable input (wrong
+magic, ROS2 bags, truncated/corrupt records, no matching topics) raises
+the named ``BagFormatError`` with an actionable message.
 """
 from __future__ import annotations
 
@@ -28,26 +35,48 @@ _OP_CHUNK = 0x05
 _OP_CONNECTION = 0x07
 
 
+class BagFormatError(ValueError):
+    """A bag that is not a readable ROS1 v2.0 bag: wrong magic, truncated
+    mid-record (interrupted recording / partial download), or garbage where
+    a record header should be.  Named so day-one runs on real datasets fail
+    with an actionable message instead of a raw struct.error."""
+
+
 def _parse_fields(buf: bytes) -> Dict[str, bytes]:
     fields = {}
     i = 0
     while i < len(buf):
+        if i + 4 > len(buf):
+            raise BagFormatError("truncated record header fields")
         (flen,) = struct.unpack_from("<I", buf, i)
         i += 4
+        if i + flen > len(buf):
+            raise BagFormatError("truncated record header fields")
         field = buf[i : i + flen]
         i += flen
-        eq = field.index(b"=")
+        eq = field.find(b"=")
+        if eq < 0:
+            raise BagFormatError("malformed record header field (no '=')")
         fields[field[:eq].decode()] = field[eq + 1 :]
     return fields
 
 
 def _read_record(buf: bytes, pos: int) -> Tuple[Dict[str, bytes], bytes, int]:
+    if pos + 4 > len(buf):
+        raise BagFormatError(f"truncated record at offset {pos}")
     (hlen,) = struct.unpack_from("<I", buf, pos)
     pos += 4
+    if pos + hlen + 4 > len(buf):
+        raise BagFormatError(f"truncated record header at offset {pos - 4}")
     header = _parse_fields(buf[pos : pos + hlen])
     pos += hlen
     (dlen,) = struct.unpack_from("<I", buf, pos)
     pos += 4
+    if pos + dlen > len(buf):
+        raise BagFormatError(
+            f"truncated record data at offset {pos - 4} "
+            f"(need {dlen} bytes, {len(buf) - pos} left — interrupted "
+            "recording or partial download?)")
     data = buf[pos : pos + dlen]
     pos += dlen
     return header, data, pos
@@ -175,14 +204,29 @@ class BagReader:
 
         self.path = Path(path)
         self._file = open(self.path, "rb")
-        self._buf = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            self._buf = mmap.mmap(
+                self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError as e:  # zero-length file cannot be mapped
+            self._file.close()
+            raise BagFormatError(f"{path}: empty file, not a ROS bag") from e
         if self._buf[:13] != b"#ROSBAG V2.0\n":
-            raise ValueError(f"{path}: not a ROS bag v2.0")
+            head = bytes(self._buf[:13])
+            self.close()
+            raise BagFormatError(
+                f"{path}: not a ROS1 bag v2.0 (magic {head!r}; ROS2 bags "
+                "are sqlite3/mcap and need conversion, e.g. `rosbags`)")
         self._connections: Dict[int, Tuple[str, str]] = {}
 
     def close(self):
         self._buf.close()
         self._file.close()
+
+    @property
+    def connections(self) -> Dict[str, str]:
+        """{topic: msg type} of every connection seen so far (fully
+        populated after one pass of messages())."""
+        return {t: m for t, m in self._connections.values()}
 
     def messages(
         self, topics: Optional[set] = None
@@ -235,7 +279,12 @@ class BagReader:
                 parser = _PARSERS.get(mtype)
                 if parser is None:
                     continue
-                yield topic, mtype, stamp, parser(rec)
+                try:
+                    yield topic, mtype, stamp, parser(rec)
+                except (struct.error, IndexError) as e:
+                    raise BagFormatError(
+                        f"{self.path}: corrupt {mtype} message on "
+                        f"{topic!r} at t={stamp:.3f}: {e}") from e
 
 
 # ---------------------------------------------------------------------------
@@ -375,6 +424,7 @@ def replay_into_pipeline(bag_path, pipeline, lidar_topic, imu_topic,
     cfg = cfg or pipeline.cfg
     reader = BagReader(bag_path)
     n_scans = 0
+    n_imu = 0
 
     def _spin_all():
         while pipeline.spin_once():
@@ -383,6 +433,7 @@ def replay_into_pipeline(bag_path, pipeline, lidar_topic, imu_topic,
 
     for topic, mtype, stamp, msg in reader.messages({lidar_topic, imu_topic}):
         if topic == imu_topic:
+            n_imu += 1
             pipeline.push_imu(
                 msg["stamp"], msg["linear_acceleration"], msg["angular_velocity"]
             )
@@ -397,4 +448,19 @@ def replay_into_pipeline(bag_path, pipeline, lidar_topic, imu_topic,
                 break
         _spin_all()
     _spin_all()
+    if n_scans == 0 or n_imu == 0:
+        avail = ", ".join(
+            f"{t} ({m})" for t, m in sorted(reader.connections.items())
+        ) or "<none>"
+        missing = []
+        if n_scans == 0:
+            missing.append(f"lidar topic {lidar_topic!r}")
+        if n_imu == 0:
+            missing.append(f"imu topic {imu_topic!r}")
+        raise BagFormatError(
+            f"{bag_path}: no messages matched {' / '.join(missing)}; "
+            f"topics in this bag: {avail}. "
+            "Pass --lid-topic/--imu-topic matching the recording "
+            "(HKU avia bags: /livox/lidar + /livox/imu; NCLT: "
+            "/velodyne_points + /imu/data — see README 'Real datasets').")
     return n_scans
