@@ -284,6 +284,7 @@ def main(argv=None):
             tree_size_end=int(d.map_size),
             add_point_size=int(d.n_down),
             preprocess_time=d.preprocess_time,
+            n_eff=int(d.n_effective),
         ))
     tlog.write_csv(out / "fast_lio_time_log.csv")
 

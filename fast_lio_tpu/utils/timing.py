@@ -29,7 +29,22 @@ import numpy as np
 CSV_HEADER = (
     "time_stamp, total time, scan point size, incremental time, search time, "
     "delete size, delete time, tree size st, tree size end, add point size, "
-    "preprocess time"
+    "preprocess time, n_eff"
+)
+
+# The reference brackets each stage per frame with omp_get_wtime.  One fused
+# XLA program has no per-frame stage boundaries to bracket, so with
+# --stage-timing the search/incremental/delete columns carry RUN-LEVEL
+# slope-method constants — flat across rows by construction (see
+# utils/stage_timing.py) — while total_time and n_eff (effective plane-fit
+# points per frame, a live per-frame signal the reference's analysis style
+# can use) ARE per frame.  Stated up front in the CSV as a '#' comment line,
+# which numpy.genfromtxt / pandas skip; the trailing n_eff column is
+# append-only so column-indexed readers of the reference schema still work.
+CSV_COMMENT = (
+    "# stage columns (search/incremental/delete) are run-level slope-method "
+    "constants, flat across rows (one fused device program has no per-frame "
+    "stage brackets); total_time, preprocess_time and n_eff are per-frame"
 )
 
 
@@ -46,6 +61,7 @@ class ScanTiming:
     tree_size_end: int = 0
     add_point_size: int = 0
     preprocess_time: float = 0.0
+    n_eff: int = 0  # effective (plane-gate-passing) points in the update
 
 
 class TimingLog:
@@ -59,6 +75,7 @@ class TimingLog:
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
         with open(path, "w") as f:
+            f.write(CSV_COMMENT + "\n")
             f.write(CSV_HEADER + "\n")
             for r in self.rows:
                 f.write(
@@ -66,7 +83,7 @@ class TimingLog:
                     f"{r.incremental_time:.8f},{r.search_time:.8f},"
                     f"{r.delete_size},{r.delete_time:.8f},{r.tree_size_st},"
                     f"{r.tree_size_end},{r.add_point_size},"
-                    f"{r.preprocess_time:.8f}\n"
+                    f"{r.preprocess_time:.8f},{r.n_eff}\n"
                 )
 
     def summary(self) -> dict:

@@ -27,7 +27,8 @@ def test_pcd_save_accumulates_dense_scans(tmp_path):
     # cloud (the IMU-init packets contribute nothing)
     traj = np.loadtxt(tmp_path / "trajectory_tum.txt")
     n_scans = len(traj)
-    csv = (tmp_path / "fast_lio_time_log.csv").read_text().strip().splitlines()
+    csv = [r for r in (tmp_path / "fast_lio_time_log.csv").read_text()
+           .strip().splitlines() if not r.startswith("#")]
     sizes = [int(float(r.split(",")[2])) for r in csv[1:]]  # scan_point_size
     assert len(sizes) == n_scans
     assert total == sum(sizes)

@@ -61,7 +61,14 @@ def plot_timing(csv_path, save_to=None):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    rows = np.genfromtxt(csv_path, delimiter=",", names=True)
+    # the CSV may open with a '#' comment line (stage-column semantics:
+    # search/incremental/delete are run-level slope constants, flat across
+    # rows; n_eff is per-frame).  genfromtxt would mistake a leading '#'
+    # line for the names row, so skip it explicitly.
+    with open(csv_path) as f:
+        skip = 1 if f.readline().startswith("#") else 0
+    rows = np.genfromtxt(csv_path, delimiter=",", names=True,
+                         skip_header=skip)
     t = rows["time_stamp"] - rows["time_stamp"][0]
     fig, axes = plt.subplots(2, 1, figsize=(11, 7), sharex=True)
     axes[0].plot(t, rows["total_time"] * 1e3, lw=0.8, label="total")
@@ -70,6 +77,8 @@ def plot_timing(csv_path, save_to=None):
     axes[0].grid(alpha=0.3)
     axes[1].plot(t, rows["tree_size_end"], lw=0.8, label="map size")
     axes[1].plot(t, rows["add_point_size"], lw=0.8, label="downsampled pts")
+    if "n_eff" in (rows.dtype.names or ()):
+        axes[1].plot(t, rows["n_eff"], lw=0.8, label="effective pts")
     axes[1].set_xlabel("time (s)")
     axes[1].legend()
     axes[1].grid(alpha=0.3)
