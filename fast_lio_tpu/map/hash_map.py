@@ -445,12 +445,26 @@ def insert(
     key_hi = (bucket_key << 15) | jnp.where(live_ds, rel[:, 0], GUARD)
     key_lo = jnp.where(live_ds, (rel[:, 1] << 15) | rel[:, 2],
                        (GUARD << 15) | GUARD)
-    order = jnp.lexsort((d_mid, key_lo, key_hi))
+    # d_mid is NOT a sort key (r5): the bitonic comparator pays per operand
+    # key, and the per-voxel nearest-to-center winner falls out of a
+    # segmented min over the sorted order instead — two int32 keys, same
+    # winner (ties at equal d_mid break to the sort-stable lowest original
+    # index, exactly what the 3-key sort produced).
+    order = jnp.lexsort((key_lo, key_hi))
     shi, slo = key_hi[order], key_lo[order]
     is_first = jnp.concatenate(
         [jnp.array([True]),
          jnp.logical_or(shi[1:] != shi[:-1], slo[1:] != slo[:-1])])
-    winner_sorted = jnp.logical_and(is_first, live_ds[order])
+    dmid_s = d_mid[order]
+    vox_seg = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # (N,) 0-based
+    seg_min = jax.ops.segment_min(dmid_s, vox_seg, num_segments=N,
+                                  indices_are_sorted=True)
+    elig = dmid_s == seg_min[vox_seg]
+    ex_elig = jnp.cumsum(elig.astype(jnp.int32)) - elig
+    elig_base = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_first, ex_elig, 0))
+    first_elig = jnp.logical_and(elig, ex_elig == elig_base)
+    winner_sorted = jnp.logical_and(first_elig, live_ds[order])
     winner = jnp.zeros(N, dtype=bool).at[order].set(winner_sorted)
     live = jnp.logical_or(winner, jnp.logical_and(add_mask, ~downsample))
 

@@ -202,6 +202,56 @@ def ds_packed(bk, qq):
     return (sums[:n_out] / jnp.maximum(cnts[:n_out], 1.0)[:, None]).sum()
 
 
+# ---- group 3: insert dedup sort (r5) ---------------------------------------
+# the r4 insert sorted 3 operands (d_mid f32, key_lo, key_hi); r5 drops
+# d_mid from the comparator and resolves per-voxel winners with a segmented
+# min over the sorted order.  These isolate that tradeoff at insert shapes.
+
+_ins_rng = np.random.default_rng(3)
+_ins_keyhi = jnp.asarray(_ins_rng.integers(0, 1 << 29, size=8192), jnp.int32)
+_ins_keylo = jnp.asarray(_ins_rng.integers(0, 1 << 30, size=8192), jnp.int32)
+_ins_dmid = jnp.asarray(_ins_rng.uniform(0, 1, size=8192), jnp.float32)
+
+
+def ins_sort3(bk, qq):
+    khi = _ins_keyhi + jnp.int32(qq[0, 0] * 1e-12)
+    order = jnp.lexsort((_ins_dmid, _ins_keylo, khi))
+    shi, slo = khi[order], _ins_keylo[order]
+    first = jnp.concatenate(
+        [jnp.array([True]), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
+    return order.sum() + first.sum()
+
+
+def ins_sort2_segmin(bk, qq):
+    khi = _ins_keyhi + jnp.int32(qq[0, 0] * 1e-12)
+    order = jnp.lexsort((_ins_keylo, khi))
+    shi, slo = khi[order], _ins_keylo[order]
+    first = jnp.concatenate(
+        [jnp.array([True]), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
+    dmid_s = _ins_dmid[order]
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg_min = jax.ops.segment_min(dmid_s, seg, num_segments=8192,
+                                  indices_are_sorted=True)
+    elig = dmid_s == seg_min[seg]
+    ex = jnp.cumsum(elig.astype(jnp.int32)) - elig
+    base = jax.lax.associative_scan(jnp.maximum, jnp.where(first, ex, 0))
+    first_elig = elig & (ex == base)
+    return order.sum() + first_elig.sum()
+
+
+def ins_full(bk, qq):
+    from fast_lio_tpu.map import hash_map as hm
+    cfg = hm.MapConfig(h_log2=13, bucket_slots=64, cell_size=1.2,
+                       voxel_size=0.3)
+    m = hm.make_map(cfg, jnp.float32)
+    # two chained inserts: empty-map appends, then a perturbed re-insert
+    # exercising the same-voxel replace path
+    m = hm.insert(m, cfg, raw + qq[0, 0] * 1e-12, raw_mask,
+                  jnp.ones_like(raw_mask))
+    m = hm.insert(m, cfg, raw + 0.01, raw_mask, jnp.ones_like(raw_mask))
+    return m.packed.sum()
+
+
 if __name__ == "__main__":
     slope("gather+d2 only", mk(b_d2), buckets, q)
     slope("gather+d2+top_k", mk(b_topk), buckets, q)
@@ -215,3 +265,7 @@ if __name__ == "__main__":
           buckets, q)
     slope("voxel downsample: 3-key lexsort (prod)", mk(ds_lexsort), buckets, q)
     slope("voxel downsample: packed 1-key argsort", mk(ds_packed), buckets, q)
+    slope("insert sort: r4 3-operand lexsort", mk(ins_sort3), buckets, q)
+    slope("insert sort: r5 2-key + segmented min", mk(ins_sort2_segmin),
+          buckets, q)
+    slope("insert: full production path", mk(ins_full), buckets, q)
