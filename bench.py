@@ -13,7 +13,8 @@ no-arg invocation is unchanged): the SURVEY §6 sensor envelope.
   velodyne_outdoor  16-ring outdoor 90x90 m hall, sparse remedy on
                     (the proven test_sparse_regime e2e geometry)
   avia_batchN       N independent avia streams through ONE vmapped step
-                    (aggregate scans/s; fast_lio_tpu.batch serving mode)
+                    (aggregate scans/s; lockstep fleet-replay mode — NOT a
+                    throughput mode, see batch.py docstring)
 
 Measurement discipline (round 2):
   * REAL synchronization — jax.block_until_ready does NOT block on the axon
@@ -150,7 +151,7 @@ def _scenario(name):
 
 def main_batch(n_streams=4):
     """avia_batchN: N independent avia streams through ONE vmapped step
-    (fast_lio_tpu.batch) — the TPU batch-serving capability the reference's
+    (fast_lio_tpu.batch) — lockstep fleet replay, a convenience the reference's
     one-node-per-trajectory architecture cannot express.  Reports AGGREGATE
     scans/s across streams (per-stream latency stays ~1 round)."""
     import jax

@@ -5,9 +5,16 @@ A capability the reference architecture cannot express: its pipeline is one
 mutex-guarded ROS node per trajectory (laserMapping.cpp:756-1019).  Here
 the per-scan step is a pure function of (state, P, map, carry, buf), so B
 independent streams batch into ONE jitted vmapped step: one dispatch + one
-h2d per scan ROUND instead of per scan, and the chip sees B× wider ops.
-Intended for offline fleet mapping / multi-bag batch replay — the TPU
-analog of batched inference serving.
+h2d per scan ROUND instead of per scan.
+
+This is LOCKSTEP FLEET REPLAY tooling (one process, B bags, synchronized
+rounds), NOT a throughput mode: on one chip the vmapped step's per-stream
+map arrays defeat HBM locality, and measured aggregate throughput is ~4x
+BELOW time-slicing the same streams through the single-stream pipeline
+(avia_batch4 = 55 vs ~232 aggregate scans/s; PERF.md "Sensor envelope").
+Use separate single-stream pipelines when throughput matters; use this
+when you want B trajectories replayed in one process with shared compile
+and lockstep rounds (e.g. cross-vehicle comparison at matched timestamps).
 
 Semantics: each stream runs EXACTLY the single-Pipeline math (same lio_step,
 vmapped); streams advance in lockstep rounds — one packet per stream per

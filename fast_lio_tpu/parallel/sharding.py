@@ -43,6 +43,12 @@ from ..ops.voxel_grid import voxel_downsample
 
 AXIS = "map"
 
+# n=1 intercept-attribution hooks (tools/bench_scaling.py --ablate): each
+# skips one sharded-only cost while staying EXACT on a 1-device mesh.
+# Never enable on n>1 — results would be per-shard-local, not global.
+ABLATE_NO_MERGE = False  # skip the all-gather + re-top-k knn merge
+ABLATE_NO_PSUM = False  # drop axis_name from the GN reduction + map_size
+
 
 def local_map_cfg(cfg_global: hm.MapConfig, n_devices: int) -> hm.MapConfig:
     """Per-shard table: same capacity split n ways (n must be a power of 2 so
@@ -114,6 +120,10 @@ def _merged_knn(m_local: hm.Map, lcfg: hm.MapConfig, queries, k,
     base = _local_search_fn(cfg, lcfg, m_local) if cfg is not None \
         else partial(hm.knn_search, m_local, lcfg)
     nbrs, sq, found = base(queries, k)
+    if ABLATE_NO_MERGE:  # exact at n=1 only (the union IS the local set)
+        assert cfg is None or not cfg.knn_wide_fallback, \
+            "ABLATE_NO_MERGE skips the wide fallback — avia-class cfg only"
+        return nbrs, sq, found
     nbrs_m, sq_m, found_m = _merge(nbrs, sq, k)
     if cfg is None or not cfg.knn_wide_fallback:
         return nbrs_m, sq_m, found_m
@@ -210,7 +220,7 @@ def sharded_lio_step(
     def run_update(_):
         res = ekf.update_iterated(
             x, P_, h_fn, cache0, cfg.laser_point_cov, cfg.max_iteration,
-            cfg.epsi, axis_name=AXIS,
+            cfg.epsi, axis_name=None if ABLATE_NO_PSUM else AXIS,
         )
         return res.x, res.P, res.carry, res.iterations
 
@@ -247,7 +257,8 @@ def sharded_lio_step(
         n_down=jnp.sum(ds_mask),
         n_eff=n_eff,
         iters=iters,
-        map_size=jax.lax.psum(hm.map_size(m_local), AXIS),
+        map_size=(hm.map_size(m_local) if ABLATE_NO_PSUM
+                  else jax.lax.psum(hm.map_size(m_local), AXIS)),
     )
     clouds = dict(world=pts_world, world_mask=ds_mask,
                   world_intensity=int_ds, body=pts_d, body_mask=pt_mask,

@@ -126,6 +126,34 @@ def main():
             if n > len(jax.devices()):
                 break
             run_one("sharded", n, small=True)
+    elif "--ablate" in sys.argv:
+        # n=1 intercept ATTRIBUTION (VERDICT r4 #7): each ablation removes
+        # ONE sharded-only cost while staying exact on a 1-device mesh.
+        from fast_lio_tpu.parallel import sharding
+
+        base = run_one("unsharded", 1)
+        results = {"unsharded": base}
+        for label, no_merge, no_psum in (
+            ("sharded_full", False, False),
+            ("sharded_no_merge", True, False),
+            ("sharded_no_psum", False, True),
+            ("sharded_no_merge_no_psum", True, True),
+        ):
+            sharding.ABLATE_NO_MERGE = no_merge
+            sharding.ABLATE_NO_PSUM = no_psum
+            results[label] = run_one("sharded", 1)
+        sharding.ABLATE_NO_MERGE = sharding.ABLATE_NO_PSUM = False
+        print(json.dumps({
+            "intercept_full": round(base / results["sharded_full"], 3),
+            "intercept_no_merge": round(
+                base / results["sharded_no_merge"], 3),
+            "intercept_no_psum": round(base / results["sharded_no_psum"], 3),
+            "intercept_no_both": round(
+                base / results["sharded_no_merge_no_psum"], 3),
+            "note": "each ablation removes one sharded-only cost (exact at "
+                    "n=1); the residual of no_both is shard_map lowering + "
+                    "donation behavior itself",
+        }), flush=True)
     else:
         base = run_one("unsharded", 1)
         one = run_one("sharded", 1)
