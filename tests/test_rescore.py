@@ -37,3 +37,22 @@ def test_rescore_matches_full_research():
     assert abs(int(p1.diags[-1].n_effective) -
                int(p2.diags[-1].n_effective)) < 0.02 * int(
         p1.diags[-1].n_effective)
+
+
+def test_rescore_refuses_wide_fallback():
+    """ADVICE r4: rescore re-ranks the cached 2x2x2 candidate block only; a
+    silent combination with the wide 3x3x3 fallback would change search
+    semantics mid-A/B.  make_knn_fn must refuse it loudly."""
+    import dataclasses
+
+    import pytest
+
+    from fast_lio_tpu.config import Config, LidarType
+    from fast_lio_tpu.map import hash_map as hm
+    from fast_lio_tpu.pipeline import make_knn_fn
+
+    cfg = Config(lidar_type=LidarType.AVIA, rescore_research=True,
+                 knn_wide_fallback=True)
+    mcfg = hm.make_config(0.5)
+    with pytest.raises(ValueError, match="wide"):
+        make_knn_fn(cfg, mcfg, hm.make_map(mcfg))
