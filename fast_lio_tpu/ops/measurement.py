@@ -45,10 +45,10 @@ class NeighborCache(NamedTuple):
     iterations (as the reference's per-point CPU loop does) is redundant —
     identical results, one batched fit per search instead of per iteration.
 
-    When candidate rescoring is enabled (Config.rescore_research) the raw
-    gathered candidate block is cached as well so converged-iteration
-    re-searches re-rank cached candidates instead of re-gathering the map —
-    exact to within the (millimeter-scale) pose motion between iterations.
+    (Candidate rescoring — Config.rescore_research — no longer stores its
+    block here: pipeline.lio_step hoists the one full search ahead of the
+    GN loop and closes knn_fn over the candidate block, so the loop carry
+    stays small and no per-iteration cond select copies it.)
     """
 
     nbrs: jnp.ndarray  # (N, K, 3)
@@ -56,21 +56,15 @@ class NeighborCache(NamedTuple):
     selected: jnp.ndarray  # (N,)
     pabcd: jnp.ndarray  # (N, 4) cached plane fits
     plane_ok: jnp.ndarray  # (N,)
-    cand_pts: jnp.ndarray  # (N, C, 3) or (N, 0, 3) when rescoring is off
-    cand_ok: jnp.ndarray  # (N, C)
-    has_cands: jnp.ndarray  # ()
 
 
-def empty_cache(n: int, dtype=jnp.float32, n_cand: int = 0) -> NeighborCache:
+def empty_cache(n: int, dtype=jnp.float32) -> NeighborCache:
     return NeighborCache(
         nbrs=jnp.zeros((n, NUM_MATCH, 3), dtype=dtype),
         found=jnp.zeros((n, NUM_MATCH), dtype=bool),
         selected=jnp.zeros(n, dtype=bool),
         pabcd=jnp.zeros((n, 4), dtype=dtype),
         plane_ok=jnp.zeros(n, dtype=bool),
-        cand_pts=jnp.zeros((n, n_cand, 3), dtype=dtype),
-        cand_ok=jnp.zeros((n, n_cand), dtype=bool),
-        has_cands=jnp.asarray(False),
     )
 
 
@@ -92,17 +86,14 @@ def compute_measurement(
     converge: jnp.ndarray,  # () bool — re-search gate
     extrinsic_est: bool = True,
     row_mask: jnp.ndarray = None,  # optional extra mask on H rows (sharding)
-    rescore: bool = False,
 ):
     """One h_share_model evaluation.  Returns (h_x, h, sel, cache', p_world).
 
     h_x: (N, 12), h: (N,) with h = -pd2; sel is the effective-point mask.
     ``knn_fn`` abstracts the map search (build with pipeline.make_knn_fn) so
-    the multi-device layer can inject a shard-merged search; it receives the
-    live-point mask so adaptive modes (wide fallback) ignore padded rows.
-    With ``rescore`` on, knn_fn must return (nbrs, sq, found, cand_pts,
-    cand_ok) and converged-iteration re-searches re-rank the cached
-    candidates instead of re-gathering.
+    the multi-device layer can inject a shard-merged search and the rescore
+    mode a cached-candidate re-rank; it receives the live-point mask so
+    adaptive modes (wide fallback) ignore padded rows.
     """
     dtype = pts_body.dtype
     p_world = body_to_world(x, pts_body)
@@ -114,37 +105,9 @@ def compute_measurement(
         pabcd, plane_ok = fit_plane(nbrs, found, PLANE_THRESHOLD)
         return nbrs.astype(dtype), found, selected, pabcd.astype(dtype), plane_ok
 
-    if rescore:
-        from ..map.hash_map import rescore_candidates
-
-        def full_search(_):
-            nbrs, sq, found, cand_pts, cand_ok = knn_fn(p_world, mask)
-            return NeighborCache(
-                *select_and_fit(nbrs, sq, found),
-                cand_pts.astype(dtype), cand_ok, jnp.asarray(True),
-            )
-
-        def rescore_search(_):
-            nbrs, sq, found = rescore_candidates(
-                cache.cand_pts, cache.cand_ok, p_world, NUM_MATCH
-            )
-            return NeighborCache(
-                *select_and_fit(nbrs, sq, found),
-                cache.cand_pts, cache.cand_ok, cache.has_cands,
-            )
-
-        def research(_):
-            return jax.lax.cond(
-                cache.has_cands, rescore_search, full_search, operand=None
-            )
-    else:
-
-        def research(_):
-            nbrs, sq, found = knn_fn(p_world, mask)
-            return NeighborCache(
-                *select_and_fit(nbrs, sq, found),
-                cache.cand_pts, cache.cand_ok, cache.has_cands,
-            )
+    def research(_):
+        nbrs, sq, found = knn_fn(p_world, mask)
+        return NeighborCache(*select_and_fit(nbrs, sq, found))
 
     cache = jax.lax.cond(converge, research, lambda _: cache, operand=None)
 

@@ -314,14 +314,30 @@ def lio_step(
     )
 
     # 4. iterated point-to-plane update (hot loops #2-#4)
-    n_cand = map_cfg.knn_candidates if cfg.rescore_research else 0
-    cache0 = meas.empty_cache(cfg.n_ds_max, pts_ds.dtype, n_cand)
+    cache0 = meas.empty_cache(cfg.n_ds_max, pts_ds.dtype)
     knn_fn = make_knn_fn(cfg, map_cfg, m)
+    if cfg.rescore_research:
+        # ONE map gather per scan (r5): the full region search runs here,
+        # BEFORE the GN loop, at the predicted pose — identical to what the
+        # loop's first iteration would search — and the (N, C, 3) candidate
+        # block enters h_fn as a closure constant.  Every converge-gated
+        # "re-search" inside the loop is then a pure re-rank of that block
+        # (hash_map.rescore_candidates), and the block never rides the
+        # while_loop carry through a cond select (which copied it per
+        # iteration in the r4 wiring).  Re-ranking at the search pose
+        # reproduces the full search's top-k exactly (same candidate set,
+        # same masks, same tie order), so iteration 0 is bit-identical to a
+        # real search; later iterations deviate only by the mm-scale pose
+        # motion between GN iterates (Config.rescore_research docs).
+        p_world0 = meas.body_to_world(x, pts_ds)
+        cand_pts, cand_ok = knn_fn(p_world0, ds_mask)[3:]
+        knn_fn = lambda q, mask: hm.rescore_candidates(
+            cand_pts, cand_ok, q, meas.NUM_MATCH)
 
     def h_fn(x_i, converge, cache):
         h_x, h, sel, cache, valid, _pw = meas.compute_measurement(
             x_i, pts_ds, ds_mask, knn_fn, cache, converge,
-            cfg.extrinsic_est_en, rescore=cfg.rescore_research,
+            cfg.extrinsic_est_en,
         )
         return ekf.MeasOut(h_x, h, sel, valid, cache)
 

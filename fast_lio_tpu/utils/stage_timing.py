@@ -89,7 +89,7 @@ def measure_stage_times(pipe) -> dict:
         from ..pipeline import make_knn_fn
 
         knn_fn = make_knn_fn(cfg, map_cfg, m)
-        cache0 = meas.empty_cache(N, dtype, 0)
+        cache0 = meas.empty_cache(N, dtype)
 
         def body(i, acc):
             h_x, h, sel, cache, valid, _ = meas.compute_measurement(
