@@ -5,7 +5,7 @@
 cd /root/repo
 OUT=tools/r5_bank
 probe() {
-python - <<'PY'
+timeout 150 python - <<'PY'
 import time, jax, jax.numpy as jnp, numpy as np
 g = jax.jit(lambda v: v * 1.000001 + 1e-9)
 y = jnp.zeros((8,8), jnp.float32); y = g(y)
