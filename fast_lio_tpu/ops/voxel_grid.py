@@ -64,6 +64,22 @@ def voxel_downsample(
         order = jnp.argsort(key)
         sk = key[order]
         is_first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
+    elif coord_bound is not None and bits <= 15:
+        # ---- two-key path (r5): det_range-450-class bounds (e.g. 12 bits
+        # per axis = 36 total) exceed one int32 but fit (x,y | z) in two —
+        # a narrower sort comparator than the 3-key exact fallback.  Same
+        # static origin + per-point clamp exactness argument as the 1-key
+        # path; bits <= 15 keeps key_hi at 2*bits <= 30 (+1 guard for BIG).
+        rel = jnp.clip(cell + half, 0, (1 << bits) - 1)
+        key_hi = (rel[:, 0] << bits) | rel[:, 1]
+        key_lo = rel[:, 2]
+        key_hi = jnp.where(mask, key_hi, BIG)
+        key_lo = jnp.where(mask, key_lo, BIG)
+        order = jnp.lexsort((key_lo, key_hi))
+        shi, slo = key_hi[order], key_lo[order]
+        is_first = jnp.concatenate(
+            [jnp.array([True]),
+             (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
     else:
         cx = jnp.where(mask, cell[:, 0], BIG)
         cy = jnp.where(mask, cell[:, 1], BIG)

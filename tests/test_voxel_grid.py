@@ -116,3 +116,43 @@ def test_fused_key_falls_back_when_bits_overflow():
     cb = np.asarray(b[0])[np.asarray(b[1])]
     np.testing.assert_allclose(ca[np.lexsort(ca.T)], cb[np.lexsort(cb.T)],
                                atol=1e-6)
+
+
+def test_two_key_path_matches_exact_lexsort_at_det_range_450():
+    """det_range-450-class coord_bound (36 key bits) takes the r5 two-key
+    path; voxels/centroids/intensity must match the exact 3-key lexsort."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from fast_lio_tpu.ops.voxel_grid import voxel_downsample
+
+    rng = np.random.default_rng(45)
+    n = 4096
+    pts = rng.uniform(-560, 560, (n, 3)).astype(np.float32)
+    # out-of-bound outliers on each axis/sign: per contract they clamp to
+    # the boundary voxel (affecting only themselves) and must not perturb
+    # any in-bound voxel
+    pts[0] = [2000.0, 0.0, 0.0]
+    pts[1] = [0.0, -2000.0, 0.0]
+    pts[2] = [0.0, 0.0, 2000.0]
+    pts = jnp.asarray(pts)
+    mask = jnp.asarray(rng.random(n) < 0.9)
+    feats = jnp.asarray(rng.random(n), jnp.float32)
+    leaf, n_out = 0.5, 4096
+    bound = 450.0 * 1.25 + 5.0  # the production avia preset's bound
+
+    c2, m2, f2 = voxel_downsample(pts, mask, leaf, n_out, feats=feats,
+                                  coord_bound=bound)
+    ce, me, fe = voxel_downsample(pts, mask, leaf, n_out, feats=feats,
+                                  coord_bound=None)  # exact lexsort
+
+    # in-bound set equality (emission order may differ between key layouts)
+    def canon(c, m, f):
+        c, m, f = np.asarray(c), np.asarray(m), np.asarray(f)
+        keep = m & (np.abs(c) <= bound).all(axis=1)
+        rows = np.concatenate([c[keep], f[keep][:, None]], axis=1)
+        return rows[np.lexsort(rows.T[::-1])]
+
+    np.testing.assert_allclose(canon(c2, m2, f2), canon(ce, me, fe),
+                               rtol=0, atol=1e-5)
