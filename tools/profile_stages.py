@@ -128,7 +128,7 @@ def f_knn(n, m, q):
 
 
 def f_measurement(n, m, x):
-    cache0 = meas.empty_cache(N_DS, DT, 0)
+    cache0 = meas.empty_cache(N_DS, DT)
     def body(i, acc):
         h_x, h, sel, cache, valid, _pw = meas.compute_measurement(
             x._replace(pos=x.pos + acc * 1e-12), pts_ds, ds_mask, knn_fn,
@@ -139,7 +139,7 @@ def f_measurement(n, m, x):
 
 
 def f_update(n, m, x, P):
-    cache0 = meas.empty_cache(N_DS, DT, 0)
+    cache0 = meas.empty_cache(N_DS, DT)
     def h_fn(x_i, converge, cache):
         h_x, h, sel, cache, valid, _pw = meas.compute_measurement(
             x_i, pts_ds, ds_mask, knn_fn, cache, converge, True)
