@@ -366,11 +366,15 @@ def main():
         float(np.asarray(jax.device_get(z))[0, 0])
         rtts.append(time.perf_counter() - t0)
     rtt_ms = float(np.percentile(np.asarray(rtts), 50)) * 1e3
+    rtt_p99_ms = float(np.percentile(np.asarray(rtts), 99)) * 1e3
     lat_ms = np.sort(np.asarray(lat)) * 1e3
     lat_p50 = float(np.percentile(lat_ms, 50))
     lat_p99 = float(np.percentile(lat_ms, 99))
     lat_c_p50 = max(0.0, lat_p50 - rtt_ms)
-    lat_c_p99 = max(0.0, lat_p99 - rtt_ms)
+    # p99 minus the link's own p99: tail scans on this host are dominated
+    # by tunnel stalls (one ~40 ms RTT spike is dozens of scan-times); the
+    # budget flag judges the HARDWARE, the raw percentiles judge this host
+    lat_c_p99 = max(0.0, lat_p99 - rtt_p99_ms)
     budget_ms = 10.0 if scenario == "mid360" else 100.0
 
     deltas_ms = np.sort(np.asarray(deltas)) * 1e3
@@ -407,6 +411,7 @@ def main():
             "latency_p50_ms": round(lat_p50, 2),
             "latency_p99_ms": round(lat_p99, 2),
             "latency_rtt_ms": round(rtt_ms, 2),
+            "latency_rtt_p99_ms": round(rtt_p99_ms, 2),
             "latency_corrected_p50_ms": round(lat_c_p50, 2),
             "latency_corrected_p99_ms": round(lat_c_p99, 2),
             "latency_budget_ms": budget_ms,
