@@ -340,17 +340,25 @@ def main():
     # tunnel-corrected percentiles are the hardware's own latency story and
     # carry the real-time budget flags (mid360 p99 < 10 ms, 10 Hz sensors
     # p99 < 100 ms — reference README.md:42 real-time claim).
-    pipe2 = Pipeline(cfg)
-    for pkt in packets[:N_WARM]:
-        pipe2.process_packet(pkt)
-    drain2 = lambda: float(np.asarray(jax.device_get(pipe2.P))[0, 0])
-    drain2()
+    # Best-effort when the environment is degraded: a >3 ms dispatch probe
+    # or a minutes-long warm (remote compile service backlog) means the
+    # synced pass would only measure the outage — keep the primary metric
+    # and mark the latency fields skipped (the banked healthy-window runs
+    # carry them; PERF.md "tunnel variance").
+    lat_skipped = (max(tunnel_pre_ms, tunnel_post_ms) > 3.0
+                   or warm_s > 300.0)
     lat = []
-    for pkt in packets[N_WARM:N_WARM + 200]:
-        t0 = time.perf_counter()
-        pipe2.process_packet(pkt)
+    if not lat_skipped:
+        pipe2 = Pipeline(cfg)
+        for pkt in packets[:N_WARM]:
+            pipe2.process_packet(pkt)
+        drain2 = lambda: float(np.asarray(jax.device_get(pipe2.P))[0, 0])
         drain2()
-        lat.append(time.perf_counter() - t0)
+        for pkt in packets[N_WARM:N_WARM + 200]:
+            t0 = time.perf_counter()
+            pipe2.process_packet(pkt)
+            drain2()
+            lat.append(time.perf_counter() - t0)
     # link probe: one tiny dispatch + readback of a FRESH buffer each time
     # (re-reading the same buffer hits jax's host-side npy cache and
     # measures 0), i.e. the floor any synced call pays on this link; a
@@ -367,15 +375,30 @@ def main():
         rtts.append(time.perf_counter() - t0)
     rtt_ms = float(np.percentile(np.asarray(rtts), 50)) * 1e3
     rtt_p99_ms = float(np.percentile(np.asarray(rtts), 99)) * 1e3
-    lat_ms = np.sort(np.asarray(lat)) * 1e3
-    lat_p50 = float(np.percentile(lat_ms, 50))
-    lat_p99 = float(np.percentile(lat_ms, 99))
-    lat_c_p50 = max(0.0, lat_p50 - rtt_ms)
-    # p99 minus the link's own p99: tail scans on this host are dominated
-    # by tunnel stalls (one ~40 ms RTT spike is dozens of scan-times); the
-    # budget flag judges the HARDWARE, the raw percentiles judge this host
-    lat_c_p99 = max(0.0, lat_p99 - rtt_p99_ms)
     budget_ms = 10.0 if scenario == "mid360" else 100.0
+    if lat:
+        lat_ms = np.sort(np.asarray(lat)) * 1e3
+        lat_p50 = float(np.percentile(lat_ms, 50))
+        lat_p99 = float(np.percentile(lat_ms, 99))
+        lat_c_p50 = max(0.0, lat_p50 - rtt_ms)
+        # p99 minus the link's own p99: tail scans on this host are
+        # dominated by tunnel stalls (one ~40 ms RTT spike is dozens of
+        # scan-times); the budget flag judges the HARDWARE, the raw
+        # percentiles judge this host
+        lat_c_p99 = max(0.0, lat_p99 - rtt_p99_ms)
+        lat_fields = {
+            "latency_p50_ms": round(lat_p50, 2),
+            "latency_p99_ms": round(lat_p99, 2),
+            "latency_rtt_ms": round(rtt_ms, 2),
+            "latency_rtt_p99_ms": round(rtt_p99_ms, 2),
+            "latency_corrected_p50_ms": round(lat_c_p50, 2),
+            "latency_corrected_p99_ms": round(lat_c_p99, 2),
+            "latency_budget_ms": budget_ms,
+            "latency_budget_ok": bool(lat_c_p99 < budget_ms),
+        }
+    else:
+        lat_fields = {"latency_skipped":
+                      "degraded link/compile service (see PERF.md)"}
 
     deltas_ms = np.sort(np.asarray(deltas)) * 1e3
     # ate_rmse_m is the standard TUM/evo Umeyama-aligned ATE for EVERY
@@ -408,14 +431,7 @@ def main():
             # EFFECTIVE state (not the env var): rescore is refused on
             # wide-fallback scenarios, see the guard at cfg construction
             "rescore": bool(cfg.rescore_research),
-            "latency_p50_ms": round(lat_p50, 2),
-            "latency_p99_ms": round(lat_p99, 2),
-            "latency_rtt_ms": round(rtt_ms, 2),
-            "latency_rtt_p99_ms": round(rtt_p99_ms, 2),
-            "latency_corrected_p50_ms": round(lat_c_p50, 2),
-            "latency_corrected_p99_ms": round(lat_c_p99, 2),
-            "latency_budget_ms": budget_ms,
-            "latency_budget_ok": bool(lat_c_p99 < budget_ms),
+            **lat_fields,
             "tunnel_dispatch_ms": [round(tunnel_pre_ms, 3),
                                    round(tunnel_post_ms, 3)],
         },
