@@ -31,13 +31,13 @@ while true; do
   echo "$(date +%H:%M:%S) probe ${P} ms (try $TRIES thr $THR)" >> $OUT/probe_log.txt
   if python -c "exit(0 if float('${P:-999}') < $THR else 1)"; then
     echo "HEALTHY window at $(date +%H:%M:%S), banking..." >> $OUT/probe_log.txt
-    python bench.py avia                     > $OUT/avia.json        2>$OUT/avia.err
-    FAST_LIO_RESCORE=1 python bench.py avia  > $OUT/avia_rescore.json 2>$OUT/avia_rescore.err
-    python bench.py avia                     > $OUT/avia2.json       2>$OUT/avia2.err
-    python tools/microbench_knn.py           > $OUT/microbench.txt   2>$OUT/microbench.err
-    python bench.py mid360                   > $OUT/mid360.json      2>$OUT/mid360.err
-    python bench.py velodyne_outdoor         > $OUT/velodyne.json    2>$OUT/velodyne.err
-    python bench.py ouster64                 > $OUT/ouster64.json    2>$OUT/ouster64.err
+    timeout 1500 python bench.py avia                     > $OUT/avia.json        2>$OUT/avia.err
+    FAST_LIO_RESCORE=1 timeout 1500 python bench.py avia  > $OUT/avia_rescore.json 2>$OUT/avia_rescore.err
+    timeout 1500 python bench.py avia                     > $OUT/avia2.json       2>$OUT/avia2.err
+    timeout 1200 python tools/microbench_knn.py           > $OUT/microbench.txt   2>$OUT/microbench.err
+    timeout 1500 python bench.py mid360                   > $OUT/mid360.json      2>$OUT/mid360.err
+    timeout 1500 python bench.py velodyne_outdoor         > $OUT/velodyne.json    2>$OUT/velodyne.err
+    timeout 1500 python bench.py ouster64                 > $OUT/ouster64.json    2>$OUT/ouster64.err
     P2=$(probe 2>/dev/null | tail -1)
     echo "done at $(date +%H:%M:%S), post-probe ${P2} ms" >> $OUT/probe_log.txt
     break
