@@ -129,27 +129,75 @@ def main():
     elif "--ablate" in sys.argv:
         # n=1 intercept ATTRIBUTION (VERDICT r4 #7): each ablation removes
         # ONE sharded-only cost while staying exact on a 1-device mesh.
-        from fast_lio_tpu.parallel import sharding
+        # Sequential runs are swamped by tunnel drift (a first attempt
+        # measured intercepts < 1 because the baseline caught a bad
+        # window), so all five variants are built once and then timed in
+        # INTERLEAVED rounds; per-variant best-of-rounds cancels the drift.
+        import numpy as np
 
-        base = run_one("unsharded", 1)
-        results = {"unsharded": base}
-        for label, no_merge, no_psum in (
+        import jax
+
+        from fast_lio_tpu.parallel import sharding
+        from fast_lio_tpu.pipeline import Pipeline
+        from jax.sharding import Mesh
+
+        from fast_lio_tpu.parallel.sharding import AXIS
+
+        variants = (
+            ("unsharded", None, None),
             ("sharded_full", False, False),
             ("sharded_no_merge", True, False),
             ("sharded_no_psum", False, True),
-            ("sharded_no_merge_no_psum", True, True),
-        ):
-            sharding.ABLATE_NO_MERGE = no_merge
-            sharding.ABLATE_NO_PSUM = no_psum
-            results[label] = run_one("sharded", 1)
-        sharding.ABLATE_NO_MERGE = sharding.ABLATE_NO_PSUM = False
+            ("sharded_no_both", True, True),
+        )
+        cfg, data = build()
+        packets = None
+
+        def make_pipe(label, no_merge, no_psum):
+            # a FRESH pipeline per timed pass: packet replay on a stateful
+            # pipeline would rewind time (negative dt propagation) and the
+            # resulting dynamics could skew GN iteration counts.  Ablation
+            # flags must be live while the step TRACES (first packet).
+            nonlocal packets
+            mesh = (None if label == "unsharded" else
+                    Mesh(np.asarray(jax.devices()[:1]), (AXIS,)))
+            if no_merge is not None:
+                sharding.ABLATE_NO_MERGE = no_merge
+                sharding.ABLATE_NO_PSUM = no_psum
+            pipe = Pipeline(cfg, mesh=mesh)
+            if packets is None:
+                packets = packets_for(pipe, data)
+            for p in packets[:N_WARM]:
+                pipe.process_packet(p)
+            float(np.asarray(jax.device_get(pipe.P))[0, 0])
+            sharding.ABLATE_NO_MERGE = sharding.ABLATE_NO_PSUM = False
+            return pipe
+
+        # compile everything once up front (persistent cache + first trace)
+        for label, nm, np_ in variants:
+            make_pipe(label, nm, np_)
+
+        best = {label: 0.0 for label, *_ in variants}
+        for rnd in range(3):
+            for label, nm, np_ in variants:
+                pipe = make_pipe(label, nm, np_)
+                meas = packets[N_WARM:]
+                t0 = time.perf_counter()
+                for p in meas:
+                    pipe.process_packet(p)
+                float(np.asarray(jax.device_get(pipe.P))[0, 0])
+                sps = len(meas) / (time.perf_counter() - t0)
+                best[label] = max(best[label], sps)
+                print(json.dumps({"round": rnd, "mode": label,
+                                  "scans_per_sec": round(sps, 2)}),
+                      flush=True)
+        base = best["unsharded"]
         print(json.dumps({
-            "intercept_full": round(base / results["sharded_full"], 3),
-            "intercept_no_merge": round(
-                base / results["sharded_no_merge"], 3),
-            "intercept_no_psum": round(base / results["sharded_no_psum"], 3),
-            "intercept_no_both": round(
-                base / results["sharded_no_merge_no_psum"], 3),
+            "best_of_rounds": {k: round(v, 2) for k, v in best.items()},
+            "intercept_full": round(base / best["sharded_full"], 3),
+            "intercept_no_merge": round(base / best["sharded_no_merge"], 3),
+            "intercept_no_psum": round(base / best["sharded_no_psum"], 3),
+            "intercept_no_both": round(base / best["sharded_no_both"], 3),
             "note": "each ablation removes one sharded-only cost (exact at "
                     "n=1); the residual of no_both is shard_map lowering + "
                     "donation behavior itself",
