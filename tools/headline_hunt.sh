@@ -21,7 +21,7 @@ print(f"{best:.3f}")
 PY
 )
   echo "$(date +%H:%M:%S) hunt probe ${P}" >> $OUT/probe_log.txt
-  if python -c "exit(0 if float('${P:-999}') < 0.6 else 1)" 2>/dev/null; then
+  if python -c "exit(0 if float('${P:-999}') < 0.85 else 1)" 2>/dev/null; then
     TS=$(date +%H%M%S)
     timeout 1200 python bench.py avia > $OUT/avia_hunt_$TS.json 2>/dev/null
     echo "$(date +%H:%M:%S) hunted -> avia_hunt_$TS.json" >> $OUT/probe_log.txt
