@@ -77,16 +77,51 @@ def make_knn_fn(cfg: Config, map_cfg: hm.MapConfig, m: hm.Map):
         return lambda q, mask: base(q)
 
     rcov2 = (0.5 * map_cfg.cell_size) ** 2
+    # partial-wide compaction (r5): only the unsaturated queries need the
+    # 3x3x3 region.  EXACT: a saturated query's 5th NN lies within the
+    # narrow region's guaranteed coverage radius cell_size/2, so its true
+    # 5-NN are all inside the narrow region and the wide re-search could
+    # not change its result (the centered 3x3x3 is a superset of the
+    # round-to-corner 2x2x2).  Compacting the (typically few) unsaturated
+    # queries into K_w slots cuts the wide gather's row count — at ouster64
+    # shapes the all-queries wide search alone was 10.2 ms/scan (r5 stage
+    # table).  If more than K_w queries are unsaturated the full wide
+    # search runs instead (same results, old cost).
+    K_w = getattr(cfg, "knn_wide_max_queries", 2048)
 
     def with_fallback(queries, mask):
+        N = queries.shape[0]
         nbrs, sq, found = base(queries)
         unsat = jnp.logical_or(
             jnp.logical_not(found[:, -1]), sq[:, -1] > rcov2
         )
-        need = jnp.any(jnp.logical_and(unsat, mask))
+        unsat = jnp.logical_and(unsat, mask)
+        n_unsat = jnp.sum(unsat)
+
+        if K_w and K_w < N:
+            # fill_value=N + mode="drop" => pad rows scatter nowhere
+            (idx,) = jnp.nonzero(unsat, size=K_w, fill_value=N)
+            qsub = jnp.take(queries, jnp.minimum(idx, N - 1), axis=0)
+
+            def partial_wide(_):
+                nw, sw, fw = base(qsub, wide=True)
+                return (
+                    nbrs.at[idx].set(nw, mode="drop"),
+                    sq.at[idx].set(sw, mode="drop"),
+                    found.at[idx].set(fw, mode="drop"),
+                )
+
+            def dispatch(_):
+                return jax.lax.cond(
+                    n_unsat <= K_w, partial_wide,
+                    lambda _: base(queries, wide=True), operand=None)
+        else:
+            def dispatch(_):
+                return base(queries, wide=True)
+
         return jax.lax.cond(
-            need,
-            lambda _: base(queries, wide=True),
+            n_unsat > 0,
+            dispatch,
             lambda _: (nbrs, sq, found),
             operand=None,
         )

@@ -207,3 +207,45 @@ def test_insert_wide_span_randomized_matches_numpy_dedup():
     got = np.sort(np.asarray(hm.flatten(m)), axis=0)
     assert got.shape == expect.shape
     np.testing.assert_allclose(got, expect, atol=0)
+
+
+def test_partial_wide_compaction_matches_full_wide():
+    """r5 partial-wide: the wide fallback searched only for UNSATURATED
+    queries (compacted into K_w slots) must return bit-identical results to
+    the full all-queries wide search — saturated narrow results are exact
+    by the coverage-radius argument (pipeline.make_knn_fn)."""
+    import dataclasses
+
+    from fast_lio_tpu.config import Config, LidarType
+    from fast_lio_tpu.pipeline import make_knn_fn
+
+    cfg_map = hm.MapConfig(h_log2=12, bucket_slots=64, cell_size=2.5,
+                           voxel_size=0.5)
+    rng = np.random.default_rng(7)
+    # dense cluster (saturates its queries) + sparse far-field (unsaturated)
+    dense = rng.uniform(-5, 5, (3000, 3))
+    sparse = rng.uniform(20, 60, (60, 3))
+    pts = jnp.asarray(np.concatenate([dense, sparse]))
+    m = hm.make_map(cfg_map, jnp.float64)
+    m = hm.insert(m, cfg_map, pts, jnp.ones(len(pts), bool),
+                  jnp.zeros(len(pts), bool))
+
+    queries = jnp.asarray(np.concatenate([
+        rng.uniform(-4, 4, (200, 3)),      # saturated region
+        rng.uniform(20, 60, (56, 3)),      # unsaturated region
+    ]))
+    mask = jnp.ones(len(queries), bool)
+
+    base_cfg = Config(lidar_type=LidarType.AVIA, knn_wide_fallback=True)
+    for k_w in (64, 8):  # 8 < expected unsat count -> full-wide arm
+        fn = make_knn_fn(
+            dataclasses.replace(base_cfg, knn_wide_max_queries=k_w),
+            cfg_map, m)
+        fn_full = make_knn_fn(
+            dataclasses.replace(base_cfg, knn_wide_max_queries=0),
+            cfg_map, m)
+        n1, s1, f1 = fn(queries, mask)
+        n2, s2, f2 = fn_full(queries, mask)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=0)
+        np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), atol=0)
