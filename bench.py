@@ -106,6 +106,7 @@ def _scenario(name):
             cube_side_length=300.0,
             map_cell_multiplier=5,
             knn_wide_fallback=True,
+            knn_wide_max_queries=128,  # partial-wide at 512-query scans
         )
         data = simlib.generate(
             simlib.SimConfig(duration=10.0, scan_period=0.01, n_rings=8,
