@@ -133,9 +133,53 @@ def _merged_knn(m_local: hm.Map, lcfg: hm.MapConfig, queries, k,
                            sq_m[:, -1] > rcov2)
     if mask is not None:
         unsat = jnp.logical_and(unsat, mask)
-    need = jnp.any(unsat)
-    # every device computes the same `need` (merged results are replicated
-    # by construction), so the cond branches stay in lockstep
+    n_unsat = jnp.sum(unsat)
+    need = n_unsat > 0
+    # every device computes the same gate values (merged results are
+    # replicated by construction), so the cond branches stay in lockstep
+    # and the compaction indices below are identical on every shard.
+    N = queries.shape[0]
+    K_w = getattr(cfg, "knn_wide_max_queries", 2048) if cfg is not None else 0
+    if K_w and K_w < N:
+        # partial wide (r5, same exactness argument as make_knn_fn): a
+        # globally-saturated query's true 5-NN lie within the narrow
+        # coverage radius, so only the unsaturated queries (compacted into
+        # K_w slots) need the 27-cell gather; their K_w-row merge is also a
+        # much smaller collective.  Budget overflow falls back to the full
+        # wide pass — identical results either way.
+        (idx,) = jnp.nonzero(unsat, size=K_w, fill_value=N)
+        safe = jnp.minimum(idx, N - 1)
+        qsub = jnp.take(queries, safe, axis=0)
+        small = n_unsat <= K_w
+        nbrs_s, sq_s = jax.lax.cond(
+            jnp.logical_and(need, small),
+            lambda _: base(qsub, k, wide=True)[:2],
+            lambda _: (jnp.take(nbrs, safe, axis=0),
+                       jnp.take(sq, safe, axis=0)),
+            operand=None,
+        )
+        nbrs_sm, sq_sm, found_sm = _merge(nbrs_s, sq_s, k)
+        nbrs_w, sq_w = jax.lax.cond(
+            jnp.logical_and(need, jnp.logical_not(small)),
+            lambda _: base(queries, k, wide=True)[:2],
+            lambda _: (nbrs, sq),
+            operand=None,
+        )
+        nbrs_wm, sq_wm, found_wm = _merge(nbrs_w, sq_w, k)
+        nbrs_p = nbrs_m.at[idx].set(nbrs_sm, mode="drop")
+        sq_p = sq_m.at[idx].set(sq_sm, mode="drop")
+        found_p = found_m.at[idx].set(found_sm, mode="drop")
+        use_full = jnp.logical_and(need, jnp.logical_not(small))
+        use_part = jnp.logical_and(need, small)
+
+        def pick3(full, part, narrow):
+            return jnp.where(use_full, full,
+                             jnp.where(use_part, part, narrow))
+
+        return (pick3(nbrs_wm, nbrs_p, nbrs_m),
+                pick3(sq_wm, sq_p, sq_m),
+                pick3(found_wm, found_p, found_m))
+
     nbrs_w, sq_w = jax.lax.cond(
         need,
         lambda _: base(queries, k, wide=True)[:2],
